@@ -1,0 +1,108 @@
+"""Command-line driver.
+
+The reference hardcodes scene + SPP in main() (``MTPC/MTPC.cpp:71-91``); here
+they are runtime arguments:
+
+    python -m montecarlopathtracing_tpu render scene/ cornell-box --spp 25
+    python -m montecarlopathtracing_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="montecarlopathtracing_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene to PNG")
+    r.add_argument("scene_dir")
+    r.add_argument("name")
+    r.add_argument("--spp", type=int, default=25)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--out-dir", default="result")
+    r.add_argument("--max-depth", type=int, default=32)
+    r.add_argument("--chunk-size", type=int, default=65536)
+    r.add_argument("--spp-chunk", type=int, default=0,
+                   help="progressive accumulation chunk (0 = single pass)")
+    r.add_argument("--checkpoint", default=None,
+                   help="film checkpoint path for resume")
+    r.add_argument("--intersector", default="bvh",
+                   choices=["bvh", "bvh_pallas", "brute"])
+    r.add_argument("--modern", action="store_true",
+                   help="fixed-quirks mode (AA jitter, uniform light sampling, "
+                        "single receiver cosine, MT triangle test, ...)")
+    r.add_argument("--gamma", action="store_true", help="gamma-2.2 tonemap")
+    r.add_argument("--mesh-tile", type=int, default=0,
+                   help="shard the render over a (tile, spp) device mesh")
+    r.add_argument("--mesh-spp", type=int, default=1)
+
+    sub.add_parser("bench", help="run the benchmark (prints one JSON line)")
+
+    d = sub.add_parser("devices", help="list JAX devices")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "bench":
+        import bench  # repo-root bench.py when run from checkout
+
+        bench.main()
+        return 0
+    if args.cmd == "devices":
+        import jax
+
+        for d in jax.devices():
+            print(d)
+        return 0
+
+    from .config import MODERN, RenderOptions
+    from .api import load_scene, render_progressive, render_scene
+    from .film.film import output_name, tonemap, write_png
+
+    opts = RenderOptions(
+        spp=args.spp, seed=args.seed, max_depth=args.max_depth,
+        chunk_size=args.chunk_size, intersector=args.intersector,
+        **({"compat": MODERN} if args.modern else {}),
+    )
+
+    if args.mesh_tile:
+        import jax
+
+        from .accel.lbvh import build_lbvh
+        from .parallel.mesh import make_mesh, render_image_sharded_jit
+
+        scene, meta = load_scene(args.scene_dir, args.name, opts)
+        bvh = jax.jit(build_lbvh)(scene)
+        mesh = make_mesh(tile=args.mesh_tile, spp=args.mesh_spp)
+        img = render_image_sharded_jit(scene, bvh, opts, mesh)
+        path = output_name(args.out_dir, args.name, args.spp)
+        write_png(path, tonemap(img, gamma=args.gamma))
+        print(path)
+        return 0
+
+    if args.spp_chunk:
+        import jax
+
+        from .accel.lbvh import build_lbvh
+
+        opts = opts.replace(spp_chunk=args.spp_chunk)
+        scene, meta = load_scene(args.scene_dir, args.name, opts)
+        bvh = jax.jit(build_lbvh)(scene)
+        film = render_progressive(scene, opts, bvh, checkpoint_path=args.checkpoint)
+        path = output_name(args.out_dir, args.name, args.spp)
+        write_png(path, tonemap(film.mean, gamma=args.gamma))
+        print(path)
+        return 0
+
+    _, path = render_scene(args.scene_dir, args.name, spp=args.spp,
+                           options=opts, out_dir=args.out_dir, gamma=args.gamma)
+    print(path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Render configuration.
+
+The reference (``/root/reference/MTPC/MTPC.cpp:71-91``) hardcodes scene name and
+SPP in ``main()`` and has no config system at all.  Here every knob — including a
+``compat`` block reproducing each behavioral quirk of the reference integrator
+(see SURVEY.md §2 "Behavioral quirks") — is an explicit, hashable dataclass so it
+can be passed as a static argument to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CompatOptions:
+    """Flags reproducing reference quirks. Defaults = bit-for-bit reference semantics
+    (modulo RNG streams and f32 vs f64).
+
+    Each flag cites the reference behavior it gates.
+    """
+
+    # Quirk 1 (MTPC/pathTracing.cpp:305-309): all SPP samples of a pixel shoot
+    # the identical primary ray through the pixel's top-left lattice corner.
+    # False => jittered sub-pixel AA through the pixel area ("modern" mode).
+    no_pixel_jitter: bool = True
+
+    # Quirk 3 (MTPC/pathTracing.cpp:193-197): point-in-triangle sampled via three
+    # normalized uniforms r_i / sum(r) — NOT uniform over the triangle.
+    # False => sqrt-based uniform triangle sampling.
+    simplex_light_sampling: bool = True
+
+    # Quirk 3 (MTPC/pathTracing.cpp:221-222): inverse-square distance clamped,
+    # dist = max(1, |xl - p|).
+    clamp_light_distance: bool = True
+
+    # MTPC/pathTracing.cpp:220-228: the receiver cosine enters NEE twice
+    # (cos_theta_hat AND kd_dots). False => single cosine (physically correct).
+    double_receiver_cosine: bool = True
+
+    # Quirk 5 (MTPC/pathTracing.cpp:206-215): shadow-ray visibility decided by
+    # material-id equality of nearest hit vs the sampled light triangle.
+    # False => occlusion decided by comparing hit distance to light distance.
+    material_equality_visibility: bool = True
+
+    # MTPC/sceneManagement.cpp:316-338: ray-triangle via plane solve + edge
+    # sign-product test. False => watertight Moller-Trumbore.
+    plane_sign_triangle_test: bool = True
+
+    # Quirk 12 (MTPC/morton code.h:6-7): Morton world bounds hardcoded [-1, 4].
+    # False => bounds from the scene AABB.
+    hardcoded_morton_bounds: bool = True
+
+    # MTPC/pathTracing.cpp:351: shading normal = barycentric-interpolated vertex
+    # normals, NOT renormalized. False => renormalize.
+    unnormalized_shading_normal: bool = True
+
+    # MTPC/pathTracing.cpp:102,109: transmission / TIR rays leave from the hit
+    # point with NO epsilon offset (diffuse/specular bounces and shadow rays get
+    # +0.01*dir, :132,:208). False => epsilon offset for all secondary rays.
+    no_transmission_epsilon: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Static options for one render. Hashable => usable as a jit static arg."""
+
+    spp: int = 25
+    seed: int = 0
+    # RR continuation probability (MTPC/pathTracing.cpp:237).
+    rr_probability: float = 0.6
+    # The reference has no depth cap (termination purely RR, expected depth
+    # 1/(1-0.6) = 2.5). A cap of 32 biases by < 0.6^32 ~ 8e-8: negligible.
+    max_depth: int = 32
+    # Secondary/shadow ray origin offset (MTPC/pathTracing.cpp:132,208).
+    ray_epsilon: float = 0.01
+    # Rays per wavefront chunk; pixels are processed in chunks of this many
+    # lanes to bound live-state memory. Must be a multiple of 8*128.
+    chunk_size: int = 65536
+    # Samples rendered per accumulation pass (checkpointable progressive SPP).
+    spp_chunk: int = 8
+    # "bvh" (packet traversal, the TPU-fast default), "bvh_perray" (per-lane
+    # stackless walk), "bvh_pallas" (Pallas kernel) or "brute" (test oracle:
+    # intersect every triangle).
+    intersector: str = "bvh"
+    # Rays per shared-trail packet and triangles per fat leaf (see
+    # accel.lbvh.packet_intersect). chunk_size must divide by packet_size.
+    packet_size: int = 1024
+    leaf_width: int = 8
+    compat: CompatOptions = dataclasses.field(default_factory=CompatOptions)
+
+    def replace(self, **kw) -> "RenderOptions":
+        return dataclasses.replace(self, **kw)
+
+
+MODERN = CompatOptions(
+    no_pixel_jitter=False,
+    simplex_light_sampling=False,
+    clamp_light_distance=False,
+    double_receiver_cosine=False,
+    material_equality_visibility=False,
+    plane_sign_triangle_test=False,
+    hardcoded_morton_bounds=False,
+    unnormalized_shading_normal=False,
+    no_transmission_epsilon=False,
+)

@@ -1,0 +1,463 @@
+"""Wavefront path-tracing integrator.
+
+This replaces the reference's recursive ``shade`` (``MTPC/pathTracing.cpp:
+137-266``) with a masked, bounded bounce loop carrying per-lane throughput —
+the standard recursion->iteration transform, provably the same estimator:
+
+    shade(p) = NEE(p) + [RR] w_lobe/P_RR * shade(next)
+  =>
+    L = sum_b  beta_b * NEE(p_b),  beta_0 = 1,  beta_{b+1} = beta_b * w_b / P_RR
+    (+ emitter short-circuit terms, see below)
+
+with exactly the reference's event semantics (SURVEY.md §2 quirks):
+
+* emissive hit returns the light radiance immediately (:141-144);
+* NEE: one area sample per light per bounce, diffuse term only (:165-232);
+* RR continuation p=0.6, compensation 1/p, no depth cap (:237-245) — we cap
+  at ``max_depth`` (default 32, bias < 0.6^32);
+* indirect weights: DIFFUSE multiplies kd and contributes ZERO if the bounce
+  lands on an emitter (NEE double-count guard, :247-253); SPECULAR multiplies
+  ks and DOES see emitters (:254-258); TRANSMISSION passes through unweighted
+  (:259-261);
+* lobe/event selection: refraction considered iff Ni>1 with Schlick Fresnel
+  and TIR fallback to mirror reflection (:77-113); otherwise specular iff
+  ks != 0 and |kd|/|ks| < u — an unnormalized ratio test with no 1/p
+  compensation (:116-130);
+* textures replace kd only: nearest-neighbor, frac wrap (:147-163).
+
+All lanes run in lockstep; dead lanes are masked.  The forward-only path uses
+``lax.while_loop`` with an all-dead early exit (expected depth 2.5); the
+differentiable path uses ``lax.scan`` (reverse-mode needs a static trip count)
+with per-bounce rematerialization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.lbvh import BVHArrays, bvh_intersect, brute_force_intersect, packet_intersect
+from ..config import RenderOptions
+from ..ops.intersect import barycentric
+from ..ops.sampling import (
+    PI,
+    normalize,
+    pick_light_face,
+    reflect,
+    refract_dir,
+    sample_lobe,
+    sample_triangle_point,
+    schlick_fresnel,
+)
+from ..scene.types import SceneArrays
+from . import rng
+from .camera import primary_rays
+
+RAY_DIFFUSE = 0
+RAY_SPECULAR = 1
+RAY_TRANSMISSION = 2
+
+BIG = jnp.float32(1e30)
+
+
+def _tile_swizzled_ids(h: int, w: int, packet_size: int):
+    """Pixel ids reordered so every ``packet_size`` consecutive lanes form a
+    compact 2D tile (sqrt(P) x sqrt(P)) — packet frusta stay narrow, which is
+    what makes the shared-trail traversal (accel.lbvh.packet_intersect) cheap.
+    Off-image lanes in edge tiles are clamped to the tile's last valid pixel
+    (duplicate ids re-render the identical sample, so the scatter is benign).
+
+    Host-side (static h/w): returns np.int32 (n_tiles*packet_size,).
+    """
+    import numpy as np
+
+    ts = int(np.sqrt(packet_size))
+    if ts * ts != packet_size or (h < ts and w < ts):
+        n = h * w
+        n_pad = -(-n // packet_size) * packet_size
+        return np.minimum(np.arange(n_pad, dtype=np.int32), n - 1)
+    nty, ntx = -(-h // ts), -(-w // ts)
+    ty, tx = np.meshgrid(np.arange(nty), np.arange(ntx), indexing="ij")
+    iy, ix = np.meshgrid(np.arange(ts), np.arange(ts), indexing="ij")
+    yy = np.minimum(ty[:, :, None, None] * ts + iy[None, None], h - 1)
+    xx = np.minimum(tx[:, :, None, None] * ts + ix[None, None], w - 1)
+    return (yy * w + xx).reshape(-1).astype(np.int32)
+
+
+def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
+    """Nearest-hit dispatch (the reference's ray_intersect, MTPC/pathTracing.cpp:382)."""
+    compat_tri = opts.compat.plane_sign_triangle_test
+    if opts.intersector == "brute":
+        return brute_force_intersect(scene, origin, direction, compat=compat_tri)
+    if opts.intersector == "bvh_pallas":
+        from ..kernels.traverse_pallas import bvh_intersect_pallas
+
+        return bvh_intersect_pallas(bvh, scene, origin, direction, compat=compat_tri)
+    if opts.intersector == "bvh_perray":
+        return bvh_intersect(bvh, scene, origin, direction, compat=compat_tri)
+    return packet_intersect(bvh, scene, origin, direction, compat=compat_tri,
+                            packet_size=opts.packet_size,
+                            leaf_width=opts.leaf_width)
+
+
+def _gather_hit(scene, opts, origin, direction, t, tri):
+    """Hit record: position, interpolated shading normal, material id, kd.
+
+    Mirrors the leaf bookkeeping of bvh_intersect (MTPC/pathTracing.cpp:341-361)
+    plus shade's texture-vs-kd selection (:147-163).
+    """
+    tri_c = jnp.maximum(tri, 0)
+    p = origin + direction * jax.lax.stop_gradient(t)[:, None]
+    p0, p1, p2 = scene.v0[tri_c], scene.v1[tri_c], scene.v2[tri_c]
+    bary = jax.lax.stop_gradient(barycentric(p, p0, p1, p2))
+    pn = (
+        scene.n0[tri_c] * bary[:, 0:1]
+        + scene.n1[tri_c] * bary[:, 1:2]
+        + scene.n2[tri_c] * bary[:, 2:3]
+    )
+    if not opts.compat.unnormalized_shading_normal:
+        pn = normalize(pn)
+    pn = jax.lax.stop_gradient(pn)
+    mat = scene.mat_id[tri_c]
+
+    # Texture fetch (quirk #8): row from interpolated vt.x, col from vt.y,
+    # frac wrap, nearest-neighbor; clamped at the high edge (the reference's
+    # int cast can index one past the image at frac -> 1).
+    row = (
+        scene.uv0[tri_c, 0] * bary[:, 0]
+        + scene.uv1[tri_c, 0] * bary[:, 1]
+        + scene.uv2[tri_c, 0] * bary[:, 2]
+    )
+    col = (
+        scene.uv0[tri_c, 1] * bary[:, 0]
+        + scene.uv1[tri_c, 1] * bary[:, 1]
+        + scene.uv2[tri_c, 1] * bary[:, 2]
+    )
+    h = scene.tex_h[mat]
+    w = scene.tex_w[mat]
+    r = jnp.clip((row - jnp.floor(row)) * h, 0, h.astype(jnp.float32) - 1).astype(jnp.int32)
+    c = jnp.clip((col - jnp.floor(col)) * w, 0, w.astype(jnp.float32) - 1).astype(jnp.int32)
+    texel = scene.atlas[scene.tex_offset[mat] + r * w + c]
+    kd = jnp.where(scene.has_texture[mat][:, None], texel, scene.kd[mat])
+    return p, pn, mat, kd
+
+
+def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
+    """Next-event estimation, reference semantics (MTPC/pathTracing.cpp:165-232).
+
+    One area sample per light; diffuse term only; visibility by material
+    equality (quirk #5); inverse-square clamp dist=max(1,d) (quirk #3); the
+    receiver cosine enters twice in compat mode (:220-228).
+    """
+    compat = opts.compat
+    num_lights = scene.num_lights
+    l_dir = jnp.zeros_like(kd)
+    pn_len = jnp.linalg.norm(pn, axis=-1)
+    for li in range(num_lights):
+        base = rng.N_BASE_SLOTS + 4 * li
+        u_pick, u1, u2, u3 = u[:, base], u[:, base + 1], u[:, base + 2], u[:, base + 3]
+        j = pick_light_face(scene.light_face_cum_area[li], scene.light_total_area[li], u_pick)
+        tri = scene.light_face_tri[li][j]
+        xl, vnl = sample_triangle_point(
+            scene.v0[tri], scene.v1[tri], scene.v2[tri],
+            scene.n0[tri], scene.n1[tri], scene.n2[tri],
+            u1, u2, u3, simplex=compat.simplex_light_sampling,
+        )
+        delta = xl - p
+        dist_real = jnp.linalg.norm(delta, axis=-1)
+        dirn = delta / jnp.maximum(dist_real, 1e-30)[:, None]
+
+        # Shadow ray with the same +0.01 origin nudge (:208) and a FULL
+        # nearest-hit query, exactly like the reference (no early-out any-hit).
+        so = p + dirn * opts.ray_epsilon
+        hit_s, t_s, tri_s = intersect_any(scene, bvh, so, dirn, opts)
+        if compat.material_equality_visibility:
+            vis = hit_s & (scene.mat_id[jnp.maximum(tri_s, 0)] == scene.light_mat[li])
+        else:
+            vis = (~hit_s) | (t_s + opts.ray_epsilon >= dist_real - 1e-3)
+
+        cos_l = jnp.abs(jnp.sum(dirn * normalize(vnl), axis=-1))
+        kd_dots = jnp.sum(dirn * pn, axis=-1)
+        dist = jnp.maximum(1.0, dist_real) if compat.clamp_light_distance else dist_real
+        area = scene.light_total_area[li]  # pdf = 1/A of the WHOLE light (:218)
+        rad = scene.light_radiance[li]
+        if compat.double_receiver_cosine:
+            cos_r = jnp.abs(kd_dots) / jnp.maximum(pn_len, 1e-30)
+            geom = cos_l * cos_r / (dist * dist) * area * kd_dots
+        else:
+            cos_r = kd_dots / jnp.maximum(pn_len, 1e-30)
+            geom = cos_l * jnp.maximum(cos_r, 0.0) / (dist * dist) * area
+        ok = alive & vis & (kd_dots > 0)
+        contrib = kd * rad[None, :] * (geom / PI)[:, None]
+        l_dir = l_dir + jnp.where(ok[:, None], contrib, 0.0)
+    return l_dir
+
+
+def _next_ray(scene, opts: RenderOptions, p, pn, mat, kd, incoming, u):
+    """Lobe/event selection (nextRay, MTPC/pathTracing.cpp:66-134).
+
+    incoming: the current ray direction (the reference passes wo = -incoming
+    and immediately re-negates it). Returns (origin, direction, ray_type,
+    weight).  Directions are detached; the weight (kd/ks/1) carries gradients.
+    """
+    compat = opts.compat
+    ni = scene.ni[mat]
+    cos_in = jnp.sum(incoming * pn, axis=-1)  # = (-wo).pn (:80)
+    exiting = cos_in > 0
+    normal_r = jnp.where(exiting[:, None], -pn, pn)
+    n1 = jnp.where(exiting, ni, 1.0)
+    n2 = jnp.where(exiting, 1.0, ni)
+    fresnel = schlick_fresnel(n1, n2, cos_in)
+    take_refract = (ni > 1.0) & (fresnel < u[:, 1])
+
+    ok_refr, d_refr = refract_dir(incoming, normal_r, n1 / n2)
+    d_tir = reflect(incoming, normal_r)
+    # Reference leaves transmission/TIR directions unnormalized when the
+    # shading normal is (|pn| != 1 after interpolation) — reproduced verbatim.
+    d_trans = jnp.where(ok_refr[:, None], d_refr, d_tir)
+    type_trans = jnp.where(ok_refr, RAY_TRANSMISSION, RAY_SPECULAR)
+
+    kd_n = jnp.linalg.norm(jax.lax.stop_gradient(kd), axis=-1)
+    ks_n = jnp.linalg.norm(jax.lax.stop_gradient(scene.ks[mat]), axis=-1)
+    ratio = jnp.where(ks_n > 0, kd_n / jnp.maximum(ks_n, 1e-30), jnp.inf)
+    spec = (ks_n != 0) & (ratio < u[:, 2])
+    mirror = reflect(incoming, pn)
+    axis = jnp.where(spec[:, None], mirror, pn)
+    d_lobe = sample_lobe(axis, u[:, 3], u[:, 4], ~spec, scene.ns[mat])
+    type_lobe = jnp.where(spec, RAY_SPECULAR, RAY_DIFFUSE)
+
+    direction = jax.lax.stop_gradient(
+        jnp.where(take_refract[:, None], d_trans, d_lobe)
+    )
+    ray_type = jnp.where(take_refract, type_trans, type_lobe)
+
+    # Epsilon offset: 0.01*dir for diffuse/specular bounces (:132) but NONE for
+    # the transmission/TIR branch (:102,109) in compat mode.
+    eps = jnp.where(
+        take_refract & compat.no_transmission_epsilon, 0.0, opts.ray_epsilon
+    )
+    origin = p + direction * eps[:, None]
+
+    weight = jnp.where(
+        (ray_type == RAY_TRANSMISSION)[:, None],
+        jnp.ones_like(kd),
+        jnp.where((ray_type == RAY_SPECULAR)[:, None], scene.ks[mat], kd),
+    )
+    return origin, direction, ray_type, weight
+
+
+def trace_paths(
+    scene: SceneArrays,
+    bvh: BVHArrays,
+    opts: RenderOptions,
+    keys,
+    origin,
+    direction,
+    differentiable: bool = False,
+):
+    """Full light transport for a batch of primary rays.
+
+    Returns (radiance (R,3), n_rays ()) where n_rays counts the *useful* rays
+    traced (primary + per-live-lane shadow and bounce rays) — the quantity a
+    depth-first tracer like the reference would have cast, used for rays/s
+    accounting.
+    """
+    hit, t, tri = intersect_any(scene, bvh, origin, direction, opts)
+    mat0 = scene.mat_id[jnp.maximum(tri, 0)]
+    emit0 = hit & scene.is_emitter[mat0]
+    # Primary emitter hit: shade() returns the light radiance (:141-144).
+    radiance = jnp.where(emit0[:, None], scene.emission[mat0], 0.0)
+    alive = hit & ~emit0
+    beta = jnp.ones_like(radiance)
+    n_slots = rng.n_bounce_slots(scene.num_lights)
+    n_rays = jnp.float32(origin.shape[0])
+
+    def bounce(state, depth):
+        alive, origin, direction, t, tri, beta, radiance, n_rays = state
+        u = rng.bounce_uniforms(keys, depth, n_slots)
+        p, pn, mat, kd = _gather_hit(scene, opts, origin, direction, t, tri)
+
+        radiance = radiance + jnp.where(
+            alive[:, None],
+            beta * _nee_direct(scene, bvh, opts, p, pn, kd, u, alive),
+            0.0,
+        )
+
+        cont = alive & (u[:, 0] < opts.rr_probability)  # russian_Roulette (:3-11,240)
+        beta1 = beta / opts.rr_probability
+        new_o, new_d, ray_type, weight = _next_ray(scene, opts, p, pn, mat, kd, direction, u)
+        beta2 = beta1 * weight
+
+        hit2, t2, tri2 = intersect_any(scene, bvh, new_o, new_d, opts)
+        mat2 = scene.mat_id[jnp.maximum(tri2, 0)]
+        emit2 = hit2 & scene.is_emitter[mat2]
+        alive2 = cont & hit2
+        # SPECULAR/TRANSMISSION bounces see emitters; DIFFUSE contributes zero
+        # on emitter hits (NEE double-count guard, :247-261).
+        sees_emitter = alive2 & emit2 & (ray_type != RAY_DIFFUSE)
+        radiance = radiance + jnp.where(
+            sees_emitter[:, None], beta2 * scene.emission[mat2], 0.0
+        )
+        alive_next = alive2 & ~emit2
+        n_rays = n_rays + jnp.sum(alive) * scene.num_lights + jnp.sum(cont)
+        return (alive_next, new_o, new_d, t2, tri2, beta2, radiance, n_rays), None
+
+    state = (alive, origin, direction, t, tri, beta, radiance, n_rays)
+
+    if differentiable:
+        body = bounce
+        if opts.max_depth > 4:
+            body = jax.checkpoint(bounce)  # O(1) residuals per bounce
+        state, _ = jax.lax.scan(body, state, jnp.arange(opts.max_depth))
+    else:
+        def cond(carry):
+            depth, st = carry
+            return (depth < opts.max_depth) & jnp.any(st[0])
+
+        def while_body(carry):
+            depth, st = carry
+            st, _ = bounce(st, depth)
+            return depth + 1, st
+
+        _, state = jax.lax.while_loop(cond, while_body, (jnp.int32(0), state))
+
+    return state[-2], state[-1]
+
+
+def render_pixels(
+    scene: SceneArrays,
+    bvh: BVHArrays,
+    opts: RenderOptions,
+    pixel_ids,
+    differentiable: bool = False,
+    sample_offset=0,
+):
+    """Average radiance over opts.spp samples for flat pixel ids (R,).
+
+    The per-pixel SPP loop (generateImg's OpenMP region,
+    MTPC/pathTracing.cpp:303-319) becomes a scan over sample indices; samples
+    are embarrassingly independent so this axis equally shards across chips
+    (parallel/) — ``sample_offset`` gives each shard its slice of the global
+    sample-index stream so an N-chip render averages exactly the same sample
+    set as a 1-chip render.
+
+    Returns (mean radiance (R,3), rays traced ()).
+    """
+    compat = opts.compat
+
+    def sample_body(acc, s):
+        acc_rad, acc_rays = acc
+        keys = rng.lane_keys(opts.seed, pixel_ids, s + sample_offset)
+        jitter = None if compat.no_pixel_jitter else rng.primary_uniforms(keys)
+        origin, direction = primary_rays(scene.camera, pixel_ids, jitter)
+        radiance, n_rays = trace_paths(
+            scene, bvh, opts, keys, origin, direction, differentiable
+        )
+        return (acc_rad + radiance, acc_rays + n_rays), None
+
+    body = sample_body
+    if differentiable:
+        body = jax.checkpoint(sample_body)
+    acc0 = (jnp.zeros((pixel_ids.shape[0], 3), jnp.float32), jnp.float32(0))
+    (acc, rays), _ = jax.lax.scan(body, acc0, jnp.arange(opts.spp))
+    return acc / opts.spp, rays
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "differentiable"))
+def render_image_stats(
+    scene: SceneArrays,
+    bvh: BVHArrays,
+    opts: RenderOptions,
+    differentiable: bool = False,
+):
+    """Full-frame render -> ((H, W, 3) float32 radiance, rays traced ()).
+
+    Pixels are processed in chunks of opts.chunk_size lanes to bound live
+    wavefront state (the film itself stays (H,W,3) in HBM).
+    """
+    h, w = scene.camera.height, scene.camera.width
+    n = h * w
+    chunk = min(opts.chunk_size, max(1024, n))
+    ids_np = _tile_swizzled_ids(h, w, opts.packet_size)  # (n_pad,)
+    n_pad = ((ids_np.shape[0] + chunk - 1) // chunk) * chunk
+    pad = n_pad - ids_np.shape[0]
+    if pad:
+        ids_np = np.concatenate([ids_np, np.full(pad, ids_np[-1], np.int32)])
+    ids = jnp.asarray(ids_np).reshape(-1, chunk)
+
+    def do_chunk(pix):
+        return render_pixels(scene, bvh, opts, pix, differentiable)
+
+    out, rays = jax.lax.map(do_chunk, ids)  # (n_chunks, chunk, 3), (n_chunks,)
+    flat = jnp.zeros((n, 3), out.dtype).at[ids.reshape(-1)].set(out.reshape(-1, 3))
+    return flat.reshape(h, w, 3), jnp.sum(rays)
+
+
+def render_image(
+    scene: SceneArrays,
+    bvh: BVHArrays,
+    opts: RenderOptions,
+    differentiable: bool = False,
+):
+    """Full-frame render -> (H, W, 3) float32 radiance (pre-tonemap)."""
+    return render_image_stats(scene, bvh, opts, differentiable)[0]
+
+
+_render_chunk_jit = jax.jit(
+    render_pixels, static_argnames=("opts", "differentiable")
+)
+
+
+def render_image_host_chunked(
+    scene: SceneArrays,
+    bvh: BVHArrays,
+    opts: RenderOptions,
+    progress=None,
+):
+    """Full-frame render dispatched as one device execution per
+    (pixel-chunk, spp-chunk) from the host.
+
+    Same result as render_image (identical RNG keying), but each device
+    program is short — required on fronted/tunneled TPUs that cap single
+    execution wall time, and it gives natural progress/checkpoint points
+    (SURVEY.md §5.3/§5.4: a failed chunk is re-renderable idempotently).
+    Returns ((H,W,3) f32 ndarray, rays traced).
+    """
+    import numpy as np
+
+    h, w = scene.camera.height, scene.camera.width
+    n = h * w
+    chunk = min(opts.chunk_size, max(1024, n))
+    ids_np = _tile_swizzled_ids(h, w, opts.packet_size)
+    n_pad = ((ids_np.shape[0] + chunk - 1) // chunk) * chunk
+    if n_pad != ids_np.shape[0]:
+        ids_np = np.concatenate(
+            [ids_np, np.full(n_pad - ids_np.shape[0], ids_np[-1], np.int32)]
+        )
+    ids_np = ids_np.reshape(-1, chunk)
+
+    spp_chunk = max(1, min(opts.spp_chunk, opts.spp))
+    flat = np.zeros((n, 3), np.float32)
+    total_rays = 0.0
+    n_chunks = ids_np.shape[0]
+    for ci in range(n_chunks):
+        ids = jnp.asarray(ids_np[ci])
+        acc = None
+        done = 0
+        while done < opts.spp:
+            k = min(spp_chunk, opts.spp - done)
+            part_opts = opts.replace(spp=k)
+            rad, rays = _render_chunk_jit(
+                scene, bvh, part_opts, ids, sample_offset=done
+            )
+            acc = rad * k if acc is None else acc + rad * k
+            total_rays += float(rays)
+            done += k
+        flat[ids_np[ci]] = np.asarray(acc) / opts.spp
+        if progress is not None:
+            progress(ci + 1, n_chunks)
+    return flat.reshape(h, w, 3), total_rays

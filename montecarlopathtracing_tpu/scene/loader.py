@@ -1,0 +1,378 @@
+"""Host-side scene ingest: ``.obj`` / ``.mtl`` / ``.camera`` -> SceneArrays.
+
+Reference parsers: ``MTPC/sceneManagement.cpp:17-74`` (MTL), ``:76-189`` (OBJ),
+``:191-262`` (.camera).  Differences by design (SURVEY.md §2.1 / quirk #13):
+
+* The reference denormalizes per-face vertex data at parse time; we parse into
+  index buffers and denormalize once, vectorized, when building device arrays.
+* The reference reads face corners in ``v/vn/vt`` order — the *reverse* of the
+  OBJ standard (``v/vt/vn``).  Benign for the shipped scenes (all three indices
+  identical per corner); this parser is standard-compliant.
+* OpenCV texture decode (``Material::readinMap``, MTPC/sceneManagement.h:134-143,
+  BGR) is replaced by PIL (RGB).
+* Faces with >3 corners are fan-triangulated (the reference would mis-parse them).
+
+A C++ fast parser with identical output lives in ``csrc/``; see
+``scene.native``.  This module is the always-available pure-Python path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import RenderOptions
+from .types import CameraArrays, SceneArrays, SceneMeta, pad_pow2
+
+BIG = np.float32(1e30)  # empty-AABB sentinel; finite to avoid inf*0 NaNs
+
+
+def _expand_bits_np(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint32)
+    v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+    v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+    v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+    v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+    return v
+
+
+def morton_codes_np(points: np.ndarray, compat_bounds: bool = True) -> np.ndarray:
+    """NumPy twin of ops.morton.morton_codes (host-side, used at load time)."""
+    points = np.asarray(points, np.float64)
+    if compat_bounds:
+        lo, hi = -1.0, 4.0  # MTPC/morton code.h:6-7
+        normalized = (points - lo) / (hi - lo)
+    else:
+        lo = points.min(axis=0)
+        hi = points.max(axis=0)
+        normalized = (points - lo) / np.maximum(hi - lo, 1e-20)
+    # float32 quantization matches getMortonCode's float math
+    # (MTPC/morton code.cpp:12-21).
+    q = np.clip(normalized.astype(np.float32) * 1024.0, 0.0, 1023.0).astype(np.uint32)
+    return (
+        _expand_bits_np(q[:, 0]) * np.uint32(4)
+        + _expand_bits_np(q[:, 1]) * np.uint32(2)
+        + _expand_bits_np(q[:, 2])
+    )
+
+
+class MaterialRecord:
+    __slots__ = ("name", "kd", "ks", "ns", "ni", "map_kd")
+
+    def __init__(self, name: str):
+        self.name = name
+        self.kd = np.zeros(3)
+        self.ks = np.zeros(3)
+        self.ns = 1.0
+        self.ni = 1.0
+        self.map_kd: Optional[str] = None
+
+
+def parse_mtl(path: str) -> List[MaterialRecord]:
+    """newmtl/Kd/Ks/Ns/Ni/map_Kd, same keys as MTPC/sceneManagement.cpp:17-74."""
+    materials: List[MaterialRecord] = []
+    cur: Optional[MaterialRecord] = None
+    with open(path, "r", errors="replace") as fh:
+        for raw in fh:
+            tok = raw.split()
+            if not tok:
+                continue
+            key = tok[0]
+            if key == "newmtl":
+                cur = MaterialRecord(raw.split(None, 1)[1].strip())
+                materials.append(cur)
+            elif cur is None:
+                continue
+            elif key == "Kd":
+                cur.kd = np.array([float(x) for x in tok[1:4]])
+            elif key == "Ks":
+                cur.ks = np.array([float(x) for x in tok[1:4]])
+            elif key == "Ns":
+                cur.ns = float(tok[1])
+            elif key == "Ni":
+                cur.ni = float(tok[1])
+            elif key == "map_Kd":
+                cur.map_kd = raw.split(None, 1)[1].strip()
+    return materials
+
+
+def parse_obj(path: str, material_index: Dict[str, int]):
+    """v/vn/vt/usemtl/f -> index buffers (standard corner order v/vt/vn)."""
+    vs: List[Tuple[float, float, float]] = []
+    vns: List[Tuple[float, float, float]] = []
+    vts: List[Tuple[float, float]] = []
+    face_v: List[Tuple[int, int, int]] = []
+    face_vn: List[Tuple[int, int, int]] = []
+    face_vt: List[Tuple[int, int, int]] = []
+    face_mat: List[int] = []
+    cur_mat = 0
+
+    def corner(tok: str) -> Tuple[int, int, int]:
+        parts = tok.split("/")
+        vi = int(parts[0])
+        ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+        ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+        # OBJ is 1-based; negative indices count from the end.
+        vi = vi - 1 if vi > 0 else len(vs) + vi
+        ti = ti - 1 if ti > 0 else (len(vts) + ti if ti < 0 else -1)
+        ni = ni - 1 if ni > 0 else (len(vns) + ni if ni < 0 else -1)
+        return vi, ti, ni
+
+    with open(path, "r", errors="replace") as fh:
+        for raw in fh:
+            tok = raw.split()
+            if not tok:
+                continue
+            key = tok[0]
+            if key == "v":
+                vs.append((float(tok[1]), float(tok[2]), float(tok[3])))
+            elif key == "vn":
+                vns.append((float(tok[1]), float(tok[2]), float(tok[3])))
+            elif key == "vt":
+                vts.append((float(tok[1]), float(tok[2])))
+            elif key == "usemtl":
+                cur_mat = material_index.get(raw.split(None, 1)[1].strip(), 0)
+            elif key == "f":
+                corners = [corner(t) for t in tok[1:]]
+                for k in range(1, len(corners) - 1):  # fan triangulation
+                    tri = (corners[0], corners[k], corners[k + 1])
+                    face_v.append(tuple(c[0] for c in tri))
+                    face_vt.append(tuple(c[1] for c in tri))
+                    face_vn.append(tuple(c[2] for c in tri))
+                    face_mat.append(cur_mat)
+
+    return (
+        np.asarray(vs, np.float64).reshape(-1, 3),
+        np.asarray(vns, np.float64).reshape(-1, 3),
+        np.asarray(vts, np.float64).reshape(-1, 2),
+        np.asarray(face_v, np.int64).reshape(-1, 3),
+        np.asarray(face_vt, np.int64).reshape(-1, 3),
+        np.asarray(face_vn, np.int64).reshape(-1, 3),
+        np.asarray(face_mat, np.int64).reshape(-1),
+    )
+
+
+def parse_camera(path: str):
+    """eye/lookat/up/fovy/width/height + `mtlname <name> r g b` light lines
+    (MTPC/sceneManagement.cpp:191-262)."""
+    cam = dict(eye=(0, 0, 0), lookat=(0, 0, 1), up=(0, 1, 0), fovy=45.0, width=64, height=64)
+    lights: List[Tuple[str, Tuple[float, float, float]]] = []
+    with open(path, "r", errors="replace") as fh:
+        for raw in fh:
+            tok = raw.split()
+            if not tok:
+                continue
+            key = tok[0]
+            if key in ("eye", "lookat", "up"):
+                cam[key] = tuple(float(x) for x in tok[1:4])
+            elif key == "fovy":
+                cam["fovy"] = float(tok[1])
+            elif key == "width":
+                cam["width"] = int(tok[1])
+            elif key == "height":
+                cam["height"] = int(tok[1])
+            elif key == "mtlname":
+                lights.append((tok[1], tuple(float(x) for x in tok[2:5])))
+    return cam, lights
+
+
+def _load_texture(path: str) -> Optional[np.ndarray]:
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    if not os.path.exists(path):
+        return None
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, np.float32) / 255.0  # (H,W,3) RGB in [0,1]
+
+
+def triangle_areas(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """0.5*|cross| — equal to the reference's law-of-cosines formula
+    (Face::calAera, MTPC/sceneManagement.cpp:399-406) but numerically stable."""
+    return 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+
+
+def build_scene(
+    scene_dir: str,
+    name: str,
+    options: Optional[RenderOptions] = None,
+    parsed=None,
+) -> Tuple[SceneArrays, SceneMeta]:
+    """read_scene equivalent (MTPC/sceneManagement.cpp:264-274): parse the three
+    files, Morton-sort faces, pack SoA device arrays.
+
+    ``parsed`` optionally injects pre-parsed host data (used by the C++ loader).
+    """
+    import jax.numpy as jnp
+
+    options = options or RenderOptions()
+    base = os.path.join(scene_dir, name)
+
+    if parsed is None:
+        materials = parse_mtl(base + ".mtl")
+        mat_index = {m.name: i for i, m in enumerate(materials)}
+        vs, vns, vts, f_v, f_vt, f_vn, f_mat = parse_obj(base + ".obj", mat_index)
+        cam, light_list = parse_camera(base + ".camera")
+    else:
+        materials, mat_index, (vs, vns, vts, f_v, f_vt, f_vn, f_mat), cam, light_list = parsed
+
+    if not materials:
+        materials = [MaterialRecord("default")]
+        materials[0].kd = np.array([0.8, 0.8, 0.8])
+        mat_index = {"default": 0}
+
+    num_faces = len(f_mat)
+    if num_faces == 0:
+        raise ValueError(f"scene '{name}' has no faces")
+
+    # Denormalize (gather indices -> per-face corner data) in one vectorized shot.
+    p0, p1, p2 = vs[f_v[:, 0]], vs[f_v[:, 1]], vs[f_v[:, 2]]
+    if len(vns):
+        nn0, nn1, nn2 = (np.where(f_vn[:, [k]] >= 0, vns[np.maximum(f_vn[:, k], 0)], 0.0) for k in range(3))
+    else:
+        nn0 = nn1 = nn2 = np.zeros_like(p0)
+    if len(vts):
+        t0, t1, t2 = (np.where(f_vt[:, [k]] >= 0, vts[np.maximum(f_vt[:, k], 0)], 0.0) for k in range(3))
+    else:
+        t0 = t1 = t2 = np.zeros((num_faces, 2))
+
+    # Geometric normal exactly as Face::calNorm (MTPC/sceneManagement.cpp:408-412):
+    # (v1-v2) x (v3-v1), normalized.
+    gn = np.cross(p0 - p1, p2 - p0)
+    gn_len = np.linalg.norm(gn, axis=-1, keepdims=True)
+    gn = gn / np.maximum(gn_len, 1e-30)
+    # Missing vn entries fall back to the geometric normal.
+    for arr, idx in ((nn0, 0), (nn1, 1), (nn2, 2)):
+        missing = (f_vn[:, idx] < 0) if len(vns) else np.ones(num_faces, bool)
+        arr[missing] = gn[missing]
+
+    # Morton order over centroids (MTPC/sceneManagement.cpp:176-179 + sort at
+    # MTPC/MTPC.cpp:44). Stable sort keeps the reference's tie order.
+    centroids = (p0 + p1 + p2) / 3.0
+    codes = morton_codes_np(centroids, compat_bounds=options.compat.hardcoded_morton_bounds)
+    order = np.argsort(codes, kind="stable")
+
+    p0, p1, p2 = p0[order], p1[order], p2[order]
+    nn0, nn1, nn2 = nn0[order], nn1[order], nn2[order]
+    t0, t1, t2 = t0[order], t1[order], t2[order]
+    gn = gn[order]
+    f_mat = f_mat[order]
+
+    # Pad to a power of two (perfect implicit-heap LBVH, SURVEY.md §7 step 2).
+    tpad = pad_pow2(num_faces)
+
+    def pad3(a, fill=0.0):
+        out = np.full((tpad,) + a.shape[1:], fill, np.float32)
+        out[:num_faces] = a
+        return out
+
+    mat_id = np.zeros(tpad, np.int32)
+    mat_id[:num_faces] = f_mat
+    tri_valid = np.zeros(tpad, bool)
+    tri_valid[:num_faces] = True
+
+    # Material table.
+    num_mat = len(materials)
+    kd = np.stack([m.kd for m in materials]).astype(np.float32)
+    ks = np.stack([m.ks for m in materials]).astype(np.float32)
+    ns = np.array([m.ns for m in materials], np.float32)
+    ni = np.array([m.ni for m in materials], np.float32)
+
+    # Texture atlas: concatenated flattened (h*w, 3) blocks.
+    has_tex = np.zeros(num_mat, bool)
+    tex_off = np.zeros(num_mat, np.int32)
+    tex_h = np.ones(num_mat, np.int32)
+    tex_w = np.ones(num_mat, np.int32)
+    blocks: List[np.ndarray] = []
+    offset = 0
+    for i, m in enumerate(materials):
+        if m.map_kd is None:
+            continue
+        img = _load_texture(os.path.join(scene_dir, m.map_kd))
+        if img is None:
+            continue
+        has_tex[i] = True
+        tex_off[i] = offset
+        tex_h[i], tex_w[i] = img.shape[0], img.shape[1]
+        blocks.append(img.reshape(-1, 3))
+        offset += img.shape[0] * img.shape[1]
+    atlas = np.concatenate(blocks, axis=0) if blocks else np.zeros((1, 3), np.float32)
+
+    # Lights: radiance table + per-light face lists with cumulative-area CDFs
+    # (the reference rebuilds this CDF every shade call, MTPC/pathTracing.cpp:177-184;
+    # it is a pure function of geometry so we precompute it once).
+    emission = np.zeros((num_mat, 3), np.float32)
+    is_emitter = np.zeros(num_mat, bool)
+    light_names = [ln for ln, _ in light_list]
+    light_mat = np.array([mat_index.get(ln, -1) for ln, _ in light_list], np.int32)
+    keep = light_mat >= 0
+    light_mat = light_mat[keep]
+    light_rad = np.array([r for (_, r), k in zip(light_list, keep) if k], np.float32).reshape(-1, 3)
+    num_lights = len(light_mat)
+    for li in range(num_lights):
+        emission[light_mat[li]] = light_rad[li]
+        is_emitter[light_mat[li]] = True
+
+    areas_all = triangle_areas(p0, p1, p2)
+    fmax = 1
+    per_light_faces: List[np.ndarray] = []
+    for li in range(num_lights):
+        idx = np.nonzero(f_mat == light_mat[li])[0]
+        per_light_faces.append(idx)
+        fmax = max(fmax, len(idx))
+    light_face_tri = np.zeros((max(num_lights, 1), fmax), np.int32)
+    light_face_cum = np.full((max(num_lights, 1), fmax), np.float32(1.0))
+    light_total = np.ones(max(num_lights, 1), np.float32)
+    for li in range(num_lights):
+        idx = per_light_faces[li]
+        if len(idx) == 0:
+            continue
+        cum = np.cumsum(areas_all[idx]).astype(np.float32)
+        total = cum[-1]
+        light_face_tri[li, : len(idx)] = idx
+        light_face_tri[li, len(idx):] = idx[-1]
+        light_face_cum[li, : len(idx)] = cum
+        light_face_cum[li, len(idx):] = total
+        light_total[li] = total
+
+    camera = CameraArrays(
+        eye=jnp.asarray(cam["eye"], jnp.float32),
+        look_at=jnp.asarray(cam["lookat"], jnp.float32),
+        up=jnp.asarray(cam["up"], jnp.float32),
+        fovy=jnp.asarray(cam["fovy"], jnp.float32),
+        width=int(cam["width"]),
+        height=int(cam["height"]),
+    )
+
+    scene = SceneArrays(
+        v0=jnp.asarray(pad3(p0)), v1=jnp.asarray(pad3(p1)), v2=jnp.asarray(pad3(p2)),
+        n0=jnp.asarray(pad3(nn0)), n1=jnp.asarray(pad3(nn1)), n2=jnp.asarray(pad3(nn2)),
+        uv0=jnp.asarray(pad3(t0)), uv1=jnp.asarray(pad3(t1)), uv2=jnp.asarray(pad3(t2)),
+        geom_n=jnp.asarray(pad3(gn)),
+        mat_id=jnp.asarray(mat_id),
+        tri_valid=jnp.asarray(tri_valid),
+        kd=jnp.asarray(kd), ks=jnp.asarray(ks), ns=jnp.asarray(ns), ni=jnp.asarray(ni),
+        emission=jnp.asarray(emission),
+        is_emitter=jnp.asarray(is_emitter),
+        has_texture=jnp.asarray(has_tex),
+        tex_offset=jnp.asarray(tex_off), tex_h=jnp.asarray(tex_h), tex_w=jnp.asarray(tex_w),
+        atlas=jnp.asarray(atlas),
+        light_mat=jnp.asarray(light_mat.reshape(-1) if num_lights else np.zeros(0, np.int32)),
+        light_radiance=jnp.asarray(light_rad if num_lights else np.zeros((0, 3), np.float32)),
+        light_face_tri=jnp.asarray(light_face_tri[:num_lights] if num_lights else np.zeros((0, fmax), np.int32)),
+        light_face_cum_area=jnp.asarray(light_face_cum[:num_lights] if num_lights else np.zeros((0, fmax), np.float32)),
+        light_total_area=jnp.asarray(light_total[:num_lights] if num_lights else np.zeros(0, np.float32)),
+        camera=camera,
+    )
+    meta = SceneMeta(
+        name=name,
+        material_names=[m.name for m in materials],
+        light_names=light_names,
+        num_vertices=len(vs),
+        num_faces=num_faces,
+        obj_path=base + ".obj",
+    )
+    return scene, meta

@@ -1,0 +1,58 @@
+"""TPU integrator vs the independent NumPy f64 oracle (SURVEY.md §4.2).
+
+Both consume the identical uniform stream, so the match must be at float32
+arithmetic tolerance — far stronger than statistical agreement.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import montecarlopathtracing_tpu as m
+from montecarlopathtracing_tpu.config import RenderOptions
+from montecarlopathtracing_tpu.integrator.wavefront import render_pixels
+from montecarlopathtracing_tpu.oracle.cpu_reference import oracle_render_pixels
+
+
+def _compare(scene, bvh, opts, n_pixels=None):
+    n = scene.camera.width * scene.camera.height
+    ids = jnp.arange(n if n_pixels is None else n_pixels, dtype=jnp.int32)
+    got, _ = render_pixels(scene, bvh, opts, ids)
+    want = oracle_render_pixels(scene, opts, np.asarray(ids))
+    got = np.asarray(got, np.float64)
+    # per-lane relative error on a heavy-tailed MC estimate
+    denom = np.maximum(np.abs(want), 1e-2)
+    rel = np.abs(got - want) / denom
+    return got, want, rel
+
+
+def test_direct_lighting_matches_oracle(box_scene, box_bvh):
+    """Identical RNG => f32-arithmetic-level agreement on almost every lane;
+    the residual <1% are grazing rays whose f32 hit/CDF decision flips vs f64
+    (an inherent f32-vs-f64 effect, not an estimator difference)."""
+    scene, _ = box_scene
+    opts = RenderOptions(spp=4, max_depth=1, chunk_size=256)
+    got, want, rel = _compare(scene, box_bvh, opts)
+    assert np.median(rel) < 1e-5, np.median(rel)
+    assert (rel.max(axis=1) < 1e-3).mean() > 0.99
+
+
+def test_full_path_matches_oracle(box_scene, box_bvh):
+    scene, _ = box_scene
+    opts = RenderOptions(spp=4, max_depth=6, chunk_size=256)
+    got, want, rel = _compare(scene, box_bvh, opts)
+    # f32 vs f64 accumulated over bounces; identical RNG. A handful of lanes
+    # diverge where an f32 decision (hit/CDF/RR threshold) flips.
+    assert np.median(rel) < 1e-4, np.median(rel)
+    assert (rel.max(axis=1) < 1e-2).mean() > 0.98
+
+
+def test_specular_scene_matches_oracle(box_scene_dir):
+    import jax
+    from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+
+    scene, _ = m.load_scene(box_scene_dir, "boxspec", use_native=False)
+    bvh = jax.jit(build_lbvh)(scene)
+    opts = RenderOptions(spp=4, max_depth=6, chunk_size=256)
+    got, want, rel = _compare(scene, bvh, opts)
+    assert np.median(rel) < 1e-4, np.median(rel)
+    assert (rel.max(axis=1) < 1e-2).mean() > 0.97
