@@ -29,8 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="progressive accumulation chunk (0 = single pass)")
     r.add_argument("--checkpoint", default=None,
                    help="film checkpoint path for resume")
-    r.add_argument("--intersector", default="bvh",
-                   choices=["bvh", "bvh_pallas", "brute"])
+    r.add_argument("--intersector", default="auto",
+                   choices=["auto", "cluster", "cluster_interpret", "bvh",
+                            "bvh_perray", "brute"])
     r.add_argument("--modern", action="store_true",
                    help="fixed-quirks mode (AA jitter, uniform light sampling, "
                         "single receiver cosine, MT triangle test, ...)")

@@ -80,14 +80,23 @@ class RenderOptions:
     chunk_size: int = 65536
     # Samples rendered per accumulation pass (checkpointable progressive SPP).
     spp_chunk: int = 8
-    # "bvh" (packet traversal, the TPU-fast default), "bvh_perray" (per-lane
-    # stackless walk), "bvh_pallas" (Pallas kernel) or "brute" (test oracle:
-    # intersect every triangle).
-    intersector: str = "bvh"
+    # "auto" = "cluster" (Pallas cluster kernel, kernels/cluster.py) on TPU,
+    # "bvh" (XLA packet traversal) elsewhere. Explicit: "cluster",
+    # "cluster_interpret" (Pallas interpreter, any backend), "bvh",
+    # "bvh_perray" (per-lane stackless walk), "brute" (test oracle).
+    intersector: str = "auto"
     # Rays per shared-trail packet and triangles per fat leaf (see
     # accel.lbvh.packet_intersect). chunk_size must divide by packet_size.
     packet_size: int = 1024
     leaf_width: int = 8
+    # Cluster kernel shape: rays per tile / triangles per cluster
+    # (see kernels/cluster.py).
+    cluster_rays: int = 256
+    cluster_width: int = 128
+    # Wavefront ray sorting by (hit cluster, direction octant) per bounce —
+    # restores tile coherence for shadow/bounce rays. None = on iff the
+    # cluster intersector is active. Results are bitwise independent of this.
+    sort_rays: Optional[bool] = None
     compat: CompatOptions = dataclasses.field(default_factory=CompatOptions)
 
     def replace(self, **kw) -> "RenderOptions":

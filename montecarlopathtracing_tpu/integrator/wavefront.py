@@ -88,16 +88,38 @@ def _tile_swizzled_ids(h: int, w: int, packet_size: int):
     return (yy * w + xx).reshape(-1).astype(np.int32)
 
 
+def resolve_intersector(opts: RenderOptions) -> str:
+    """'auto' picks the Pallas cluster kernel on TPU, the XLA packet walk
+    elsewhere (CPU test meshes, interpreter runs)."""
+    if opts.intersector != "auto":
+        return opts.intersector
+    import jax
+
+    return "cluster" if jax.default_backend() == "tpu" else "bvh"
+
+
+def swizzle_tile(opts: RenderOptions) -> int:
+    """Pixel-tile granularity for ray coherence, matched to the intersector's
+    ray grouping (cluster kernel tiles vs packet-walk packets)."""
+    return (opts.cluster_rays if resolve_intersector(opts) == "cluster"
+            else opts.packet_size)
+
+
 def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
     """Nearest-hit dispatch (the reference's ray_intersect, MTPC/pathTracing.cpp:382)."""
     compat_tri = opts.compat.plane_sign_triangle_test
-    if opts.intersector == "brute":
+    kind = resolve_intersector(opts)
+    if kind == "brute":
         return brute_force_intersect(scene, origin, direction, compat=compat_tri)
-    if opts.intersector == "bvh_pallas":
-        from ..kernels.traverse_pallas import bvh_intersect_pallas
+    if kind in ("cluster", "cluster_interpret"):
+        from ..kernels.cluster import build_cluster_accel, cluster_intersect
 
-        return bvh_intersect_pallas(bvh, scene, origin, direction, compat=compat_tri)
-    if opts.intersector == "bvh_perray":
+        accel = build_cluster_accel(scene, width=opts.cluster_width)
+        return cluster_intersect(
+            accel, origin, direction, tile=opts.cluster_rays,
+            interpret=True if kind == "cluster_interpret" else None,
+        )
+    if kind == "bvh_perray":
         return bvh_intersect(bvh, scene, origin, direction, compat=compat_tri)
     return packet_intersect(bvh, scene, origin, direction, compat=compat_tri,
                             packet_size=opts.packet_size,
@@ -173,7 +195,9 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
 
         # Shadow ray with the same +0.01 origin nudge (:208) and a FULL
         # nearest-hit query, exactly like the reference (no early-out any-hit).
-        so = p + dirn * opts.ray_epsilon
+        # Dead lanes are parked far outside every scene so the cluster kernel
+        # sees empty candidate lists for them (free after wavefront sorting).
+        so = jnp.where(alive[:, None], p + dirn * opts.ray_epsilon, 1e9)
         hit_s, t_s, tri_s = intersect_any(scene, bvh, so, dirn, opts)
         if compat.material_equality_visibility:
             vis = hit_s & (scene.mat_id[jnp.maximum(tri_s, 0)] == scene.light_mat[li])
@@ -250,6 +274,12 @@ def _next_ray(scene, opts: RenderOptions, p, pn, mat, kd, incoming, u):
     return origin, direction, ray_type, weight
 
 
+def _should_sort(opts: RenderOptions) -> bool:
+    if opts.sort_rays is not None:
+        return opts.sort_rays
+    return resolve_intersector(opts) == "cluster"
+
+
 def trace_paths(
     scene: SceneArrays,
     bvh: BVHArrays,
@@ -265,6 +295,16 @@ def trace_paths(
     traced (primary + per-live-lane shadow and bounce rays) — the quantity a
     depth-first tracer like the reference would have cast, used for rays/s
     accounting.
+
+    Wavefront sorting (opts.sort_rays, default on with the cluster
+    intersector): after lobe sampling, the live wavefront is permuted by
+    (hit-cluster, new-direction octant) so both the NEE shadow rays (origins
+    = hit points, grouped by cluster) and the bounce rays (grouped by origin
+    AND direction cone) present coherent tiles to the intersector — the TPU
+    counterpart of a GPU wavefront tracer's ray-compaction pass.  Every
+    per-lane quantity (including the RNG key) rides the permutation, so the
+    estimate is bitwise independent of sorting; a `slot` index unscrambles
+    the film at the end.
     """
     hit, t, tri = intersect_any(scene, bvh, origin, direction, opts)
     mat0 = scene.mat_id[jnp.maximum(tri, 0)]
@@ -275,23 +315,41 @@ def trace_paths(
     beta = jnp.ones_like(radiance)
     n_slots = rng.n_bounce_slots(scene.num_lights)
     n_rays = jnp.float32(origin.shape[0])
+    do_sort = _should_sort(opts) and origin.shape[0] > opts.cluster_rays
+    slot = jnp.arange(origin.shape[0], dtype=jnp.int32)
 
     def bounce(state, depth):
-        alive, origin, direction, t, tri, beta, radiance, n_rays = state
+        alive, origin, direction, t, tri, beta, radiance, keys, slot, n_rays = state
         u = rng.bounce_uniforms(keys, depth, n_slots)
         p, pn, mat, kd = _gather_hit(scene, opts, origin, direction, t, tri)
+        cont = alive & (u[:, 0] < opts.rr_probability)  # russian_Roulette (:3-11,240)
+        new_o, new_d, ray_type, weight = _next_ray(scene, opts, p, pn, mat, kd, direction, u)
+
+        if do_sort:
+            cluster = jnp.maximum(tri, 0) // opts.cluster_width
+            octant = (
+                (new_d[:, 0] > 0).astype(jnp.int32) * 4
+                + (new_d[:, 1] > 0).astype(jnp.int32) * 2
+                + (new_d[:, 2] > 0).astype(jnp.int32)
+            )
+            sort_key = jnp.where(alive, cluster * 8 + octant, jnp.int32(2**30))
+            perm = jnp.argsort(sort_key)
+            (alive, cont, p, pn, kd, new_o, new_d, ray_type, weight, beta,
+             radiance, keys, slot, u) = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, perm, axis=0),
+                (alive, cont, p, pn, kd, new_o, new_d, ray_type, weight, beta,
+                 radiance, keys, slot, u),
+            )
 
         radiance = radiance + jnp.where(
             alive[:, None],
             beta * _nee_direct(scene, bvh, opts, p, pn, kd, u, alive),
             0.0,
         )
+        beta2 = (beta / opts.rr_probability) * weight
 
-        cont = alive & (u[:, 0] < opts.rr_probability)  # russian_Roulette (:3-11,240)
-        beta1 = beta / opts.rr_probability
-        new_o, new_d, ray_type, weight = _next_ray(scene, opts, p, pn, mat, kd, direction, u)
-        beta2 = beta1 * weight
-
+        # Park RR-terminated lanes (same trick as the shadow rays above).
+        new_o = jnp.where(cont[:, None], new_o, 1e9)
         hit2, t2, tri2 = intersect_any(scene, bvh, new_o, new_d, opts)
         mat2 = scene.mat_id[jnp.maximum(tri2, 0)]
         emit2 = hit2 & scene.is_emitter[mat2]
@@ -304,9 +362,10 @@ def trace_paths(
         )
         alive_next = alive2 & ~emit2
         n_rays = n_rays + jnp.sum(alive) * scene.num_lights + jnp.sum(cont)
-        return (alive_next, new_o, new_d, t2, tri2, beta2, radiance, n_rays), None
+        return (alive_next, new_o, new_d, t2, tri2, beta2, radiance, keys,
+                slot, n_rays), None
 
-    state = (alive, origin, direction, t, tri, beta, radiance, n_rays)
+    state = (alive, origin, direction, t, tri, beta, radiance, keys, slot, n_rays)
 
     if differentiable:
         body = bounce
@@ -325,7 +384,10 @@ def trace_paths(
 
         _, state = jax.lax.while_loop(cond, while_body, (jnp.int32(0), state))
 
-    return state[-2], state[-1]
+    radiance, slot, n_rays = state[-4], state[-2], state[-1]
+    if do_sort:
+        radiance = jnp.zeros_like(radiance).at[slot].set(radiance)
+    return radiance, n_rays
 
 
 def render_pixels(
@@ -382,7 +444,7 @@ def render_image_stats(
     h, w = scene.camera.height, scene.camera.width
     n = h * w
     chunk = min(opts.chunk_size, max(1024, n))
-    ids_np = _tile_swizzled_ids(h, w, opts.packet_size)  # (n_pad,)
+    ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts))  # (n_pad,)
     n_pad = ((ids_np.shape[0] + chunk - 1) // chunk) * chunk
     pad = n_pad - ids_np.shape[0]
     if pad:
@@ -432,7 +494,7 @@ def render_image_host_chunked(
     h, w = scene.camera.height, scene.camera.width
     n = h * w
     chunk = min(opts.chunk_size, max(1024, n))
-    ids_np = _tile_swizzled_ids(h, w, opts.packet_size)
+    ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts))
     n_pad = ((ids_np.shape[0] + chunk - 1) // chunk) * chunk
     if n_pad != ids_np.shape[0]:
         ids_np = np.concatenate(

@@ -1,0 +1,87 @@
+"""Cluster intersector (kernels/cluster.py) vs the brute-force oracle.
+
+Runs the Pallas kernels in interpreter mode on the CPU test mesh; the same
+code path compiles on TPU (validated by bench.py / the driver's entry check).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlopathtracing_tpu.accel.lbvh import brute_force_intersect
+from montecarlopathtracing_tpu.config import RenderOptions
+from montecarlopathtracing_tpu.kernels.cluster import (
+    build_cluster_accel,
+    cluster_intersect,
+)
+from montecarlopathtracing_tpu.scene.builtin import load_builtin_box
+
+
+@pytest.fixture(scope="module")
+def box_scene():
+    scene, _ = load_builtin_box(width=16, height=16, with_specular=True)
+    return scene
+
+
+def _random_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-0.5, 1.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_matches_brute_force(box_scene):
+    accel = build_cluster_accel(box_scene, width=4)
+    o, d = _random_rays(128)
+    hb, tb, ib = brute_force_intersect(box_scene, o, d)
+    hc, tc, ic = cluster_intersect(accel, o, d, tile=16, mega=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(hc))
+    ok = np.asarray(hb)
+    np.testing.assert_allclose(
+        np.asarray(tb)[ok], np.asarray(tc)[ok], rtol=1e-4, atol=1e-5
+    )
+    # Tri ids may differ only where two triangles tie at identical t.
+    same = np.asarray(ib)[ok] == np.asarray(ic)[ok]
+    assert same.mean() > 0.99
+
+
+def test_ragged_ray_count_padding(box_scene):
+    accel = build_cluster_accel(box_scene, width=4)
+    o, d = _random_rays(53, seed=3)  # not a multiple of tile*mega
+    hb, tb, ib = brute_force_intersect(box_scene, o, d)
+    hc, tc, ic = cluster_intersect(accel, o, d, tile=16, mega=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(hc))
+    ok = np.asarray(hb)
+    np.testing.assert_allclose(
+        np.asarray(tb)[ok], np.asarray(tc)[ok], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_all_miss_rays(box_scene):
+    accel = build_cluster_accel(box_scene, width=4)
+    o = jnp.full((32, 3), 50.0)
+    d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (32, 1))
+    hc, tc, ic = cluster_intersect(accel, o, d, tile=16, mega=2, interpret=True)
+    assert not bool(jnp.any(hc))
+    assert bool(jnp.all(ic == -1))
+
+
+def test_render_equal_with_cluster_intersector(box_scene):
+    """Full render: cluster kernel (interpret) == packet-BVH path, and ray
+    sorting is bitwise invisible."""
+    from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+    from montecarlopathtracing_tpu.integrator.wavefront import render_pixels
+
+    bvh = build_lbvh(box_scene)
+    ids = jnp.arange(box_scene.camera.width * box_scene.camera.height,
+                     dtype=jnp.int32)
+    base = RenderOptions(spp=2, max_depth=4, cluster_width=4, cluster_rays=16)
+    ref, _ = render_pixels(box_scene, bvh, base.replace(intersector="bvh"), ids)
+    got, _ = render_pixels(
+        box_scene, bvh,
+        base.replace(intersector="cluster_interpret", sort_rays=True), ids,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-4, atol=1e-5)
