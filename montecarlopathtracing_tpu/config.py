@@ -97,6 +97,12 @@ class RenderOptions:
     # restores tile coherence for shadow/bounce rays. None = on iff the
     # cluster intersector is active. Results are bitwise independent of this.
     sort_rays: Optional[bool] = None
+    # Persistent-wavefront lane refill (forward renders): retire finished
+    # paths and refill lanes with fresh samples instead of re-running the
+    # bounce loop at decaying occupancy. Same estimator and RNG streams; only
+    # the film's fp accumulation order differs. The differentiable path always
+    # uses the scan renderer.
+    refill: bool = True
     compat: CompatOptions = dataclasses.field(default_factory=CompatOptions)
 
     def replace(self, **kw) -> "RenderOptions":

@@ -3,14 +3,20 @@
 The reference uses function-local ``static default_random_engine e(time(NULL))``
 instances shared across OpenMP threads (``MTPC/pathTracing.cpp:5,32,68,169``) —
 seeded by wall clock, thread-unsafe, and in one case frozen with stale state
-(quirk #4).  Deliberately NOT reproduced: a counter-based threefry stream keyed
-by (pixel, sample, bounce) is deterministic, race-free by construction, and —
-critically for the distributed path — independent of how lanes are sharded
-across chips, so a 1-chip and an N-chip render of the same seed are bitwise
-identical (SURVEY.md §5.2).
+(quirk #4).  Deliberately NOT reproduced: a stateless counter-based stream
+keyed by (pixel, sample, bounce, slot) is deterministic, race-free by
+construction, and — critically for the distributed path — independent of how
+lanes are sharded or sorted across chips, so a 1-chip and an N-chip render of
+the same seed are bitwise identical (SURVEY.md §5.2).
 
-Per-bounce uniform slot layout (stable so the NumPy oracle can replay the
-exact same stream):
+Implementation: a 32-bit finalizing mixer (lowbias32-style avalanche hash,
+two multiply-xorshift rounds) rather than threefry — ~10 integer VPU ops per
+uniform instead of 20+ rounds, which matters because the integrator draws
+``n_slots`` uniforms per lane per bounce in the hot loop.  The NumPy oracle
+(oracle/cpu_reference.py) calls these same functions, so oracle and TPU
+renders consume the exact same stream by construction.
+
+Per-bounce uniform slot layout (stable so the oracle can replay the stream):
 
     0: russian roulette          (MTPC/pathTracing.cpp:240)
     1: fresnel lobe choice       (:100)
@@ -29,21 +35,44 @@ import jax.numpy as jnp
 
 N_BASE_SLOTS = 5
 
+_GOLD = jnp.uint32(0x9E3779B9)   # 2^32 / phi — Weyl increment
+_GOLD2 = jnp.uint32(0x85EBCA6B)  # murmur3 c1
+
+
+def _mix(x):
+    """lowbias32 avalanche finalizer (public-domain constant set)."""
+    x = jnp.uint32(x)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def _to_unit(bits):
+    """uint32 -> f32 in [0, 1) using the top 24 bits."""
+    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
 
 def n_bounce_slots(num_lights: int) -> int:
     return N_BASE_SLOTS + 4 * num_lights
 
 
 def lane_keys(seed, pixel_ids, sample_idx):
-    """One threefry key per lane. pixel_ids (R,) int32; sample_idx scalar."""
-    base = jax.random.fold_in(jax.random.key(seed), sample_idx)
-    return jax.vmap(lambda p: jax.random.fold_in(base, p))(pixel_ids)
+    """One stream key per lane — uint32 (R,). pixel_ids (R,) int32;
+    sample_idx scalar or (R,) (the refill wavefront runs mixed samples)."""
+    k = _mix(jnp.uint32(seed) + _GOLD)
+    k = _mix(k ^ pixel_ids.astype(jnp.uint32))
+    return _mix(k + (jnp.asarray(sample_idx).astype(jnp.uint32) + 1) * _GOLD2)
+
+
+def _stream(keys, stream_id):
+    return _mix(keys ^ (jnp.asarray(stream_id).astype(jnp.uint32) + 1) * _GOLD)
 
 
 def bounce_uniforms(keys, depth, n_slots: int):
-    """(R, n_slots) uniforms in [0,1) for bounce ``depth``."""
-    ks = jax.vmap(lambda k: jax.random.fold_in(k, depth))(keys)
-    return jax.vmap(lambda k: jax.random.uniform(k, (n_slots,)))(ks)
+    """(R, n_slots) uniforms in [0,1) for bounce ``depth`` (scalar or (R,))."""
+    b = _stream(keys, depth)
+    slots = (jnp.arange(n_slots, dtype=jnp.uint32) + 1) * _GOLD2
+    return _to_unit(_mix(b[:, None] + slots[None, :]))
 
 
 _PRIMARY_STREAM = 0x7FFFFFFF  # bounce streams use small depth ints; keep clear
@@ -51,5 +80,6 @@ _PRIMARY_STREAM = 0x7FFFFFFF  # bounce streams use small depth ints; keep clear
 
 def primary_uniforms(keys):
     """(R, 2) sub-pixel jitter uniforms (modern mode only)."""
-    ks = jax.vmap(lambda k: jax.random.fold_in(k, _PRIMARY_STREAM))(keys)
-    return jax.vmap(lambda k: jax.random.uniform(k, (2,)))(ks)
+    b = _stream(keys, _PRIMARY_STREAM)
+    slots = (jnp.arange(2, dtype=jnp.uint32) + 1) * _GOLD2
+    return _to_unit(_mix(b[:, None] + slots[None, :]))

@@ -390,6 +390,170 @@ def trace_paths(
     return radiance, n_rays
 
 
+KIND_PRIMARY = -1  # `kind` of a camera segment; bounce segments carry RAY_*.
+
+
+def render_pixels_refill(
+    scene: SceneArrays,
+    bvh: BVHArrays,
+    opts: RenderOptions,
+    pixel_ids,
+    sample_offset=0,
+    lanes: int | None = None,
+):
+    """Persistent-wavefront renderer with lane refill (forward only).
+
+    The scan-over-samples path (render_pixels) re-runs the bounce loop at full
+    width while Russian roulette kills 40% of lanes per bounce — occupancy
+    decays 0.6^depth, so ~90% of every iteration's lockstep work is masked-out
+    dead lanes.  Here the wavefront is a lane *pool* over the work queue of
+    (pixel, sample) items: each iteration advances every in-flight path by one
+    segment, retires finished paths into a per-pixel film via scatter-add, and
+    immediately refills their lanes with fresh camera samples — occupancy
+    stays near 100% and total iterations drop from spp*max_depth to roughly
+    spp*E[path length] + tail.  This is the wavefront-compaction design of
+    SURVEY.md §7 ("hard parts" #1) in its TPU form: compaction = one argsort,
+    scheduling = a cumsum over dead lanes.
+
+    Estimator and per-path RNG streams are identical to render_pixels (keys
+    are (pixel, sample, depth)-keyed, so lane scheduling is invisible); only
+    the film's floating-point accumulation order differs.
+
+    ``lanes`` sizes the lane pool independently of the pixel set (default: one
+    lane per pixel): a whole frame's (pixel, sample) queue can be drained by a
+    fixed 64k-lane pool in a single device program, paying the end-of-queue
+    occupancy tail once per frame instead of once per pixel chunk.
+
+    Returns (mean radiance (n_pix,3) aligned with pixel_ids, rays traced ()).
+    """
+    n_pix = pixel_ids.shape[0]
+    r = min(lanes or n_pix, n_pix)
+    spp = opts.spp
+    n_items = n_pix * spp
+    n_slots = rng.n_bounce_slots(scene.num_lights)
+    do_sort = _should_sort(opts) and r > opts.cluster_rays
+    compat = opts.compat
+    num_lights = scene.num_lights
+
+    def primary_for(pix, keys):
+        jitter = None if compat.no_pixel_jitter else rng.primary_uniforms(keys)
+        return primary_rays(scene.camera, pix, jitter)
+
+    slot0 = jnp.arange(r, dtype=jnp.int32)
+    pix0 = pixel_ids[:r]
+    keys0 = rng.lane_keys(opts.seed, pix0, jnp.asarray(sample_offset))
+    o0, d0 = primary_for(pix0, keys0)
+
+    def body(carry):
+        (q, film, n_rays, active, pix_slot, keys, depth, kind,
+         origin, direction, beta, rad) = carry
+
+        o_park = jnp.where(active[:, None], origin, 1e9)
+        hit, t, tri = intersect_any(scene, bvh, o_park, direction, opts)
+        n_rays = n_rays + jnp.sum(active)
+
+        mat = scene.mat_id[jnp.maximum(tri, 0)]
+        emit = hit & scene.is_emitter[mat]
+        is_prim = kind == KIND_PRIMARY
+        # Emitter-hit terms: primary returns the light radiance
+        # (MTPC/pathTracing.cpp:141-144); SPECULAR/TRANSMISSION bounces see
+        # emitters, DIFFUSE does not (NEE double-count guard, :247-261).
+        add_prim = active & is_prim & emit
+        rad = rad + jnp.where(add_prim[:, None], scene.emission[mat], 0.0)
+        add_spec = active & ~is_prim & emit & (kind != RAY_DIFFUSE)
+        rad = rad + jnp.where(add_spec[:, None], beta * scene.emission[mat], 0.0)
+
+        shade = active & hit & ~emit & (depth < opts.max_depth)
+        done = active & ~shade
+
+        u = rng.bounce_uniforms(keys, depth, n_slots)
+        p, pn, mat_s, kd = _gather_hit(scene, opts, origin, direction, t, tri)
+        rad = rad + jnp.where(
+            shade[:, None],
+            beta * _nee_direct(scene, bvh, opts, p, pn, kd, u, shade),
+            0.0,
+        )
+        cont = shade & (u[:, 0] < opts.rr_probability)
+        new_o, new_d, rtype, weight = _next_ray(
+            scene, opts, p, pn, mat_s, kd, direction, u
+        )
+        beta = jnp.where(cont[:, None], (beta / opts.rr_probability) * weight, beta)
+        done = done | (shade & ~cont)
+        n_rays = n_rays + jnp.sum(shade) * num_lights
+
+        # Retire finished paths into the film.
+        film = film.at[pix_slot].add(jnp.where(done[:, None], rad, 0.0))
+
+        # Refill dead lanes from the work queue (item j -> pixel slot
+        # j % n_pix, sample j // n_pix: sample-major, so refills walk the
+        # swizzled pixel order and stay spatially coherent).
+        dead = ~active | done
+        item = q + jnp.cumsum(dead.astype(jnp.int32)) - 1
+        refill = dead & (item < n_items)
+        slot_new = (item % n_pix).astype(jnp.int32)
+        samp_new = item // n_pix + sample_offset
+        pix_new = pixel_ids[slot_new]
+        keys_new = rng.lane_keys(opts.seed, pix_new, samp_new)
+        o_new, d_new = primary_for(pix_new, keys_new)
+
+        active = (active & ~done) | refill
+        pix_slot = jnp.where(refill, slot_new, pix_slot)
+        keys = jnp.where(refill, keys_new, keys)
+        depth = jnp.where(refill, 0, depth + cont.astype(jnp.int32))
+        kind = jnp.where(refill, KIND_PRIMARY, jnp.where(cont, rtype, kind))
+        origin = jnp.where(refill[:, None], o_new,
+                           jnp.where(cont[:, None], new_o, origin))
+        direction = jnp.where(refill[:, None], d_new,
+                              jnp.where(cont[:, None], new_d, direction))
+        beta = jnp.where(refill[:, None], 1.0, beta)
+        rad = jnp.where(refill[:, None], 0.0, rad)
+        q = q + jnp.sum(refill)
+
+        if do_sort:
+            # Coherence grouping: bounce segments by (origin cluster, new
+            # direction octant); fresh camera segments share one bucket.
+            cluster = jnp.maximum(tri, 0) // opts.cluster_width
+            octant = (
+                (direction[:, 0] > 0).astype(jnp.int32) * 4
+                + (direction[:, 1] > 0).astype(jnp.int32) * 2
+                + (direction[:, 2] > 0).astype(jnp.int32)
+            )
+            bucket = jnp.where(kind == KIND_PRIMARY, jnp.int32(1 << 20), cluster)
+            sort_key = jnp.where(active, bucket * 8 + octant, jnp.int32(2**30))
+            perm = jnp.argsort(sort_key)
+            (active, pix_slot, keys, depth, kind, origin, direction, beta,
+             rad) = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, perm, axis=0),
+                (active, pix_slot, keys, depth, kind, origin, direction, beta,
+                 rad),
+            )
+
+        return (q, film, n_rays, active, pix_slot, keys, depth, kind,
+                origin, direction, beta, rad)
+
+    carry0 = (
+        jnp.int32(r),                      # q: first r items issued below
+        jnp.zeros((n_pix, 3), jnp.float32),  # film
+        jnp.float32(0),                    # n_rays
+        jnp.ones((r,), bool),              # active
+        slot0,
+        keys0,
+        jnp.zeros((r,), jnp.int32),        # depth
+        jnp.full((r,), KIND_PRIMARY, jnp.int32),
+        o0,
+        d0,
+        jnp.ones((r, 3), jnp.float32),     # beta
+        jnp.zeros((r, 3), jnp.float32),    # rad
+    )
+
+    def cond(carry):
+        q, active = carry[0], carry[3]
+        return (q < n_items) | jnp.any(active)
+
+    carry = jax.lax.while_loop(cond, body, carry0)
+    return carry[1] / spp, carry[2]
+
+
 def render_pixels(
     scene: SceneArrays,
     bvh: BVHArrays,
@@ -409,6 +573,9 @@ def render_pixels(
 
     Returns (mean radiance (R,3), rays traced ()).
     """
+    if not differentiable and opts.refill:
+        return render_pixels_refill(scene, bvh, opts, pixel_ids, sample_offset)
+
     compat = opts.compat
 
     def sample_body(acc, s):
@@ -438,13 +605,22 @@ def render_image_stats(
 ):
     """Full-frame render -> ((H, W, 3) float32 radiance, rays traced ()).
 
-    Pixels are processed in chunks of opts.chunk_size lanes to bound live
-    wavefront state (the film itself stays (H,W,3) in HBM).
+    Forward renders drain the whole frame's (pixel, sample) queue through one
+    opts.chunk_size lane pool (render_pixels_refill) — one device program, one
+    occupancy tail.  The differentiable / scan path processes pixels in
+    chunks of opts.chunk_size lanes via lax.map to bound live wavefront state.
     """
     h, w = scene.camera.height, scene.camera.width
     n = h * w
     chunk = min(opts.chunk_size, max(1024, n))
     ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts))  # (n_pad,)
+
+    if not differentiable and opts.refill:
+        ids = jnp.asarray(ids_np)
+        out, rays = render_pixels_refill(scene, bvh, opts, ids, lanes=chunk)
+        flat = jnp.zeros((n, 3), out.dtype).at[ids].set(out)
+        return flat.reshape(h, w, 3), rays
+
     n_pad = ((ids_np.shape[0] + chunk - 1) // chunk) * chunk
     pad = n_pad - ids_np.shape[0]
     if pad:
@@ -473,6 +649,10 @@ _render_chunk_jit = jax.jit(
     render_pixels, static_argnames=("opts", "differentiable")
 )
 
+_render_refill_jit = jax.jit(
+    render_pixels_refill, static_argnames=("opts", "lanes")
+)
+
 
 def render_image_host_chunked(
     scene: SceneArrays,
@@ -487,7 +667,10 @@ def render_image_host_chunked(
     program is short — required on fronted/tunneled TPUs that cap single
     execution wall time, and it gives natural progress/checkpoint points
     (SURVEY.md §5.3/§5.4: a failed chunk is re-renderable idempotently).
-    Returns ((H,W,3) f32 ndarray, rays traced).
+
+    In refill mode (the forward default) each dispatch drains the whole
+    frame's queue for a slice of spp_chunk samples; otherwise each dispatch
+    renders one pixel chunk at full spp.  Returns ((H,W,3) f32, rays traced).
     """
     import numpy as np
 
@@ -495,6 +678,31 @@ def render_image_host_chunked(
     n = h * w
     chunk = min(opts.chunk_size, max(1024, n))
     ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts))
+    spp_chunk = max(1, min(opts.spp_chunk, opts.spp))
+
+    if opts.refill:
+        ids = jnp.asarray(ids_np)
+        acc = None
+        done = 0
+        total_rays = 0.0
+        n_steps = -(-opts.spp // spp_chunk)
+        step = 0
+        while done < opts.spp:
+            k = min(spp_chunk, opts.spp - done)
+            rad, rays = _render_refill_jit(
+                scene, bvh, opts.replace(spp=k), ids,
+                sample_offset=done, lanes=chunk,
+            )
+            acc = rad * k if acc is None else acc + rad * k
+            total_rays += float(rays)
+            done += k
+            step += 1
+            if progress is not None:
+                progress(step, n_steps)
+        flat = np.zeros((n, 3), np.float32)
+        flat[np.asarray(ids)] = np.asarray(acc) / opts.spp
+        return flat.reshape(h, w, 3), total_rays
+
     n_pad = ((ids_np.shape[0] + chunk - 1) // chunk) * chunk
     if n_pad != ids_np.shape[0]:
         ids_np = np.concatenate(
@@ -502,7 +710,6 @@ def render_image_host_chunked(
         )
     ids_np = ids_np.reshape(-1, chunk)
 
-    spp_chunk = max(1, min(opts.spp_chunk, opts.spp))
     flat = np.zeros((n, 3), np.float32)
     total_rays = 0.0
     n_chunks = ids_np.shape[0]

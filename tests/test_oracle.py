@@ -30,7 +30,7 @@ def test_direct_lighting_matches_oracle(box_scene, box_bvh):
     the residual <1% are grazing rays whose f32 hit/CDF decision flips vs f64
     (an inherent f32-vs-f64 effect, not an estimator difference)."""
     scene, _ = box_scene
-    opts = RenderOptions(spp=4, max_depth=1, chunk_size=256)
+    opts = RenderOptions(spp=4, max_depth=1, chunk_size=256, refill=False)
     got, want, rel = _compare(scene, box_bvh, opts)
     assert np.median(rel) < 1e-5, np.median(rel)
     assert (rel.max(axis=1) < 1e-3).mean() > 0.99
@@ -38,7 +38,7 @@ def test_direct_lighting_matches_oracle(box_scene, box_bvh):
 
 def test_full_path_matches_oracle(box_scene, box_bvh):
     scene, _ = box_scene
-    opts = RenderOptions(spp=4, max_depth=6, chunk_size=256)
+    opts = RenderOptions(spp=4, max_depth=6, chunk_size=256, refill=False)
     got, want, rel = _compare(scene, box_bvh, opts)
     # f32 vs f64 accumulated over bounces; identical RNG. A handful of lanes
     # diverge where an f32 decision (hit/CDF/RR threshold) flips.
@@ -52,7 +52,7 @@ def test_specular_scene_matches_oracle(box_scene_dir):
 
     scene, _ = m.load_scene(box_scene_dir, "boxspec", use_native=False)
     bvh = jax.jit(build_lbvh)(scene)
-    opts = RenderOptions(spp=4, max_depth=6, chunk_size=256)
+    opts = RenderOptions(spp=4, max_depth=6, chunk_size=256, refill=False)
     got, want, rel = _compare(scene, bvh, opts)
     assert np.median(rel) < 1e-4, np.median(rel)
     assert (rel.max(axis=1) < 1e-2).mean() > 0.97

@@ -1,0 +1,61 @@
+"""Persistent-wavefront refill renderer vs the scan renderer.
+
+Comparison uses modern mode (jittered primaries): in compat mode every SPP
+sample shoots the identical lattice-corner ray (quirk #1), so many rays hit
+triangle edges *exactly*, where hit classification legitimately depends on
+FP contraction choices that differ between compilation contexts — a property
+of the reference's degenerate sampling, not of either renderer.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+from montecarlopathtracing_tpu.config import MODERN, RenderOptions
+from montecarlopathtracing_tpu.integrator.wavefront import render_pixels
+from montecarlopathtracing_tpu.scene.builtin import load_builtin_box
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene, _ = load_builtin_box(width=32, height=32, with_specular=True)
+    return scene, build_lbvh(scene)
+
+
+def test_refill_matches_scan(setup):
+    scene, bvh = setup
+    ids = jnp.arange(1024, dtype=jnp.int32)
+    base = RenderOptions(spp=4, max_depth=8, intersector="bvh", compat=MODERN)
+    r_scan, n_scan = render_pixels(scene, bvh, base.replace(refill=False), ids)
+    r_refill, n_refill = render_pixels(
+        scene, bvh, base.replace(refill=True, sort_rays=True), ids
+    )
+    assert float(n_scan) == float(n_refill)  # identical paths traced
+    np.testing.assert_allclose(np.asarray(r_scan), np.asarray(r_refill),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_refill_sample_offset(setup):
+    """The distributed spp-sharding contract: shard k's samples [k*c, (k+1)*c)
+    must be the same sample set under both renderers."""
+    scene, bvh = setup
+    ids = jnp.arange(1024, dtype=jnp.int32)
+    base = RenderOptions(spp=2, max_depth=6, intersector="bvh", compat=MODERN)
+    r_scan, _ = render_pixels(scene, bvh, base.replace(refill=False), ids,
+                              sample_offset=3)
+    r_refill, _ = render_pixels(scene, bvh, base.replace(refill=True), ids,
+                                sample_offset=3)
+    np.testing.assert_allclose(np.asarray(r_scan), np.asarray(r_refill),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_refill_ragged_spp(setup):
+    """spp=3 (queue not a multiple of anything) still averages correctly."""
+    scene, bvh = setup
+    ids = jnp.arange(256, dtype=jnp.int32)
+    base = RenderOptions(spp=3, max_depth=4, intersector="bvh", compat=MODERN)
+    r_scan, _ = render_pixels(scene, bvh, base.replace(refill=False), ids)
+    r_refill, _ = render_pixels(scene, bvh, base.replace(refill=True), ids)
+    np.testing.assert_allclose(np.asarray(r_scan), np.asarray(r_refill),
+                               rtol=1e-4, atol=1e-5)
