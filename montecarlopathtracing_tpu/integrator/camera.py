@@ -41,8 +41,16 @@ def primary_rays(cam: CameraArrays, pixel_ids, jitter=None):
     Returns (origin (R,3), direction (R,3) unit).
     """
     eye, start, x_step, y_step = screen_basis(cam)
-    i = (pixel_ids // cam.width).astype(jnp.float32)
-    j = (pixel_ids % cam.width).astype(jnp.float32)
+    w = cam.width
+    if w & (w - 1) == 0:
+        # Power-of-two width: shift/mask — integer div lowers to a slow
+        # multi-op sequence on the VPU and this runs every refill iteration.
+        shift = w.bit_length() - 1
+        i = (pixel_ids >> shift).astype(jnp.float32)
+        j = (pixel_ids & (w - 1)).astype(jnp.float32)
+    else:
+        i = (pixel_ids // w).astype(jnp.float32)
+        j = (pixel_ids % w).astype(jnp.float32)
     if jitter is not None:
         j = j + jitter[:, 0]
         i = i + jitter[:, 1]

@@ -445,7 +445,7 @@ def render_pixels_refill(
     o0, d0 = primary_for(pix0, keys0)
 
     def body(carry):
-        (q, film, n_rays, active, pix_slot, keys, depth, kind,
+        (q, film, n_rays, active, item_id, keys, depth, kind,
          origin, direction, beta, rad) = carry
 
         o_park = jnp.where(active[:, None], origin, 1e9)
@@ -481,23 +481,32 @@ def render_pixels_refill(
         done = done | (shade & ~cont)
         n_rays = n_rays + jnp.sum(shade) * num_lights
 
-        # Retire finished paths into the film.
-        film = film.at[pix_slot].add(jnp.where(done[:, None], rad, 0.0))
+        # Retire finished paths into the film. Indexing by work item (unique
+        # per path by construction) instead of pixel slot lets the scatter
+        # skip TPU's slow duplicate-combining path; the per-pixel film is a
+        # dense (spp, n_pix) reduction at the end.
+        film = film.at[item_id].add(jnp.where(done[:, None], rad, 0.0),
+                                    unique_indices=True)
 
         # Refill dead lanes from the work queue (item j -> pixel slot
         # j % n_pix, sample j // n_pix: sample-major, so refills walk the
-        # swizzled pixel order and stay spatially coherent).
+        # swizzled pixel order and stay spatially coherent). The divmod is
+        # done on the scalar queue head + a vector wraparound — per-lane
+        # integer division is a slow multi-op sequence on the VPU.
         dead = ~active | done
-        item = q + jnp.cumsum(dead.astype(jnp.int32)) - 1
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # < r <= n_pix
+        item = q + rank
         refill = dead & (item < n_items)
-        slot_new = (item % n_pix).astype(jnp.int32)
-        samp_new = item // n_pix + sample_offset
+        slot_new = q % n_pix + rank
+        wrap = slot_new >= n_pix
+        slot_new = jnp.where(wrap, slot_new - n_pix, slot_new)
+        samp_new = q // n_pix + wrap.astype(jnp.int32) + sample_offset
         pix_new = pixel_ids[slot_new]
         keys_new = rng.lane_keys(opts.seed, pix_new, samp_new)
         o_new, d_new = primary_for(pix_new, keys_new)
 
         active = (active & ~done) | refill
-        pix_slot = jnp.where(refill, slot_new, pix_slot)
+        item_id = jnp.where(refill, item, item_id)
         keys = jnp.where(refill, keys_new, keys)
         depth = jnp.where(refill, 0, depth + cont.astype(jnp.int32))
         kind = jnp.where(refill, KIND_PRIMARY, jnp.where(cont, rtype, kind))
@@ -521,22 +530,22 @@ def render_pixels_refill(
             bucket = jnp.where(kind == KIND_PRIMARY, jnp.int32(1 << 20), cluster)
             sort_key = jnp.where(active, bucket * 8 + octant, jnp.int32(2**30))
             perm = jnp.argsort(sort_key)
-            (active, pix_slot, keys, depth, kind, origin, direction, beta,
+            (active, item_id, keys, depth, kind, origin, direction, beta,
              rad) = jax.tree_util.tree_map(
                 lambda a: jnp.take(a, perm, axis=0),
-                (active, pix_slot, keys, depth, kind, origin, direction, beta,
+                (active, item_id, keys, depth, kind, origin, direction, beta,
                  rad),
             )
 
-        return (q, film, n_rays, active, pix_slot, keys, depth, kind,
+        return (q, film, n_rays, active, item_id, keys, depth, kind,
                 origin, direction, beta, rad)
 
     carry0 = (
         jnp.int32(r),                      # q: first r items issued below
-        jnp.zeros((n_pix, 3), jnp.float32),  # film
+        jnp.zeros((n_items, 3), jnp.float32),  # per-item film
         jnp.float32(0),                    # n_rays
         jnp.ones((r,), bool),              # active
-        slot0,
+        slot0,                             # item_id: initial items 0..r-1
         keys0,
         jnp.zeros((r,), jnp.int32),        # depth
         jnp.full((r,), KIND_PRIMARY, jnp.int32),
@@ -551,7 +560,8 @@ def render_pixels_refill(
         return (q < n_items) | jnp.any(active)
 
     carry = jax.lax.while_loop(cond, body, carry0)
-    return carry[1] / spp, carry[2]
+    film = carry[1].reshape(spp, n_pix, 3).sum(axis=0)
+    return film / spp, carry[2]
 
 
 def render_pixels(

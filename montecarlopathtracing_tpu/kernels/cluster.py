@@ -181,37 +181,45 @@ def _candidate_keys(rays, caabb, tile: int, mega: int, interpret: bool):
 
 
 def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
-    """Candidate cluster lists per ray subtile.
+    """Candidate cluster lists per ray subtile, nearest slab entry first.
 
-    Returns cand (nSteps, mega, C+8) i32: per subtile row = [count, 7 pad,
-    cluster ids — hit clusters first, in ascending cluster id order].  The
-    ascending order makes equal-t tie-breaking identical to a full
-    lowest-triangle-index scan (brute force / the reference's in-order DFS,
-    MTPC/pathTracing.cpp:355-361): the test kernel's strict ``t < best``
-    update then always keeps the lowest-index triangle of a tie.
+    Returns cand (nSteps, mega, 2C+8) i32: per subtile row =
+    [count, 7 pad, cluster ids (C), slab entry distances as f32 bits (C)].
+    Entries are ascending, so the test kernel can stop as soon as the next
+    cluster's entry exceeds every live ray's best hit; entry distances are
+    non-negative floats, so their i32 bit patterns order identically
+    (SMEM-friendly: the kernel compares bits, no scalar bitcasts needed).
     """
     c = cmin.shape[0]
     caabb = jnp.concatenate(
         [cmin.T, cmax.T, jnp.zeros((2, c), cmin.dtype)], axis=0
     )  # (8, C)
     key = _candidate_keys(rays, caabb, tile, mega, interpret)  # (nT, C)
-    hit = key < BIG
     iota = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), key.shape)
-    order = jnp.sort(jnp.where(hit, iota, iota + c), axis=1) % c
-    counts = jnp.sum(hit, axis=1, dtype=jnp.int32)[:, None]
+    enter_sorted, order = jax.lax.sort_key_val(key, iota, dimension=1)
+    counts = jnp.sum(key < BIG, axis=1, dtype=jnp.int32)[:, None]
+    enter_bits = jax.lax.bitcast_convert_type(enter_sorted, jnp.int32)
     cand = jnp.concatenate(
-        [counts, jnp.zeros((key.shape[0], 7), jnp.int32), order], axis=1
+        [counts, jnp.zeros((key.shape[0], 7), jnp.int32), order, enter_bits],
+        axis=1,
     )
-    return cand.reshape(-1, mega, c + 8)
+    return cand.reshape(-1, mega, 2 * c + 8)
 
 
 def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
-                      *, width: int, tile: int, mega: int):
+                      *, width: int, tile: int, mega: int, n_clusters: int):
     """One grid step = ``mega`` ray subtiles of ``tile`` rays.
 
-    cand: SMEM (1, mega, C+8) i32 rows [count, 7 pad, cluster ids...];
-    rays: VMEM (mega*tile, 8) packed [ox oy oz dx dy dz 0 0];
-    tconst: VMEM (C, 16, width), resident across all grid steps.
+    cand: SMEM (1, mega, 2C+8) i32 rows [count, 7 pad, cluster ids (C),
+    ascending slab-entry f32 bits (C)]; rays: VMEM (mega*tile, 8) packed
+    [ox oy oz dx dy dz 0 0]; tconst: VMEM (C, 16, width), resident across
+    all grid steps.
+
+    Front-to-back with early exit (the next cluster's entry exceeds every
+    live ray's best t), and a lexicographic (t, triangle id) best so ties at
+    identical t resolve to the lowest triangle index in ANY visit order —
+    exactly matching a full in-order scan (brute force / the reference's DFS,
+    MTPC/pathTracing.cpp:355-361).
     """
     def subtile(s, _):
         sub = rays_ref[pl.ds(s * tile, tile), :]
@@ -219,8 +227,14 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
         dx, dy, dz = sub[:, 3:4], sub[:, 4:5], sub[:, 5:6]
         n = cand_ref[0, s, 0]
 
-        def body(k, carry):
-            bt, bi = carry
+        def cond(state):
+            k, bt, bi = state
+            # f32 bit patterns of non-negative floats compare like the floats.
+            max_bits = jnp.max(jax.lax.bitcast_convert_type(bt, jnp.int32))
+            return (k < n) & (cand_ref[0, s, 8 + n_clusters + k] <= max_bits)
+
+        def body(state):
+            k, bt, bi = state
             cid = cand_ref[0, s, 8 + k]
             tc = tconst_ref[cid]  # (16, width)
 
@@ -234,20 +248,21 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
             c2 = dot(_R_M2, ox, oy, oz) + t * dot(_R_M2, dx, dy, dz) - tc[_R_K2:_R_K2 + 1]
             c3 = dot(_R_M3, ox, oy, oz) + t * dot(_R_M3, dx, dy, dz) - tc[_R_K3:_R_K3 + 1]
             inside = (c1 * c2 >= 0) & (c1 * c3 >= 0) & (c2 * c3 >= 0)
-            ok = inside & jnp.isfinite(t) & (t > 0) & (t < bt)
+            ok = inside & (t > 0) & (t <= bt)  # NaN t fails every compare
             tm = jnp.where(ok, t, 1e30)
             tj = jnp.min(tm, axis=1, keepdims=True)  # (tile, 1)
             j = jnp.argmin(tm, axis=1).reshape(tile, 1).astype(jnp.int32)
-            better = tj < bt
+            tri = cid * width + j
+            better = (tj < bt) | ((tj == bt) & (tj < 1e30) & (tri < bi))
             bt = jnp.where(better, tj, bt)
-            bi = jnp.where(better, cid * width + j, bi)
-            return bt, bi
+            bi = jnp.where(better, tri, bi)
+            return k + 1, bt, bi
 
         bt0 = jnp.full((tile, 1), 1e30, jnp.float32)
-        bi0 = jnp.full((tile, 1), -1, jnp.int32)
-        bt, bi = jax.lax.fori_loop(0, n, body, (bt0, bi0))
+        bi0 = jnp.full((tile, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
+        _, bt, bi = jax.lax.while_loop(cond, body, (jnp.int32(0), bt0, bi0))
         bt_ref[pl.ds(s * tile, tile), :] = bt
-        bi_ref[pl.ds(s * tile, tile), :] = bi
+        bi_ref[pl.ds(s * tile, tile), :] = jnp.where(bt < 1e30, bi, -1)
         return 0
 
     jax.lax.fori_loop(0, mega, subtile, 0)
@@ -261,12 +276,12 @@ def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
     n_steps = rays.shape[0] // (tile * mega)
     c = accel.num_clusters
     kernel = functools.partial(_intersect_kernel, width=accel.width,
-                               tile=tile, mega=mega)
+                               tile=tile, mega=mega, n_clusters=c)
     bt, bi = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, mega, c + 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, mega, 2 * c + 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile * mega, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -64,10 +64,13 @@ def test_bvh_and_brute_force_agree(box_scene, box_bvh):
 
 def test_chunk_size_invariance(box_scene, box_bvh):
     """Pixel chunking is an implementation detail: RNG is keyed by absolute
-    pixel id, so chunk size must not change the image."""
+    pixel id, so chunk size must not change the image.  Modern (jittered)
+    mode: compat's lattice-corner rays hit triangle edges exactly, where hit
+    classification legitimately varies with compilation shape (FP
+    contraction) — see tests/test_refill.py."""
     scene, _ = box_scene
-    a = _render(scene, box_bvh, spp=4, chunk_size=1024)
-    b = _render(scene, box_bvh, spp=4, chunk_size=256)
+    a = _render(scene, box_bvh, spp=4, chunk_size=1024, compat=MODERN)
+    b = _render(scene, box_bvh, spp=4, chunk_size=256, compat=MODERN)
     assert np.allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
