@@ -400,8 +400,9 @@ def render_pixels_refill(
     pixel_ids,
     sample_offset=0,
     lanes: int | None = None,
+    differentiable: bool = False,
 ):
-    """Persistent-wavefront renderer with lane refill (forward only).
+    """Persistent-wavefront renderer with lane refill.
 
     The scan-over-samples path (render_pixels) re-runs the bounce loop at full
     width while Russian roulette kills 40% of lanes per bounce — occupancy
@@ -418,6 +419,14 @@ def render_pixels_refill(
     Estimator and per-path RNG streams are identical to render_pixels (keys
     are (pixel, sample, depth)-keyed, so lane scheduling is invisible); only
     the film's floating-point accumulation order differs.
+
+    ``differentiable=True`` swaps the while_loop for a lax.scan with a static
+    iteration budget (reverse-mode needs a static trip count), rematerialized
+    per iteration: budget = queue length * E[segments/path] (geometric RR at
+    p=0.6 => 1/(1-p)=2.5, an upper bound since misses terminate early) with
+    20% slack, + max_depth to drain in-flight paths.  Paths unfinished at the
+    budget (measure ~0: lane-pool concentration over millions of Bernoulli
+    segments) are dropped.
 
     ``lanes`` sizes the lane pool independently of the pixel set (default: one
     lane per pixel): a whole frame's (pixel, sample) queue can be drained by a
@@ -444,9 +453,31 @@ def render_pixels_refill(
     keys0 = rng.lane_keys(opts.seed, pix0, jnp.asarray(sample_offset))
     o0, d0 = primary_for(pix0, keys0)
 
-    def body(carry):
-        (q, film, n_rays, active, item_id, keys, depth, kind,
-         origin, direction, beta, rad) = carry
+    # In differentiable mode lax.scan stacks every saved carry as
+    # (n_iter, *field): an (r, 3) field pads its minor dim 3 -> 128 on TPU
+    # (42x HBM blowup), so the four f32 vector fields travel packed as one
+    # (12, r) array (sublane pad 12 -> 16 only) and are transposed in/out of
+    # the step. The forward while_loop keeps the cheap unpacked layout.
+    if differentiable:
+        def pack_f(o, d, b, rd):
+            return (jnp.concatenate([o.T, d.T, b.T, rd.T], axis=0),)
+
+        def unpack_f(packed):
+            (fs,) = packed
+            return fs[0:3].T, fs[3:6].T, fs[6:9].T, fs[9:12].T
+    else:
+        def pack_f(o, d, b, rd):
+            return (o, d, b, rd)
+
+        def unpack_f(packed):
+            return packed
+
+    def step(state):
+        """One wavefront iteration sans film: returns (state', retired
+        radiance (r,3) — zeros for non-retiring lanes, film indices (r,) =
+        each lane's pre-refill work item, unique across lanes)."""
+        (q, n_rays, active, item_id, keys, depth, kind, *fvec) = state
+        origin, direction, beta, rad = unpack_f(tuple(fvec))
 
         o_park = jnp.where(active[:, None], origin, 1e9)
         hit, t, tri = intersect_any(scene, bvh, o_park, direction, opts)
@@ -481,12 +512,11 @@ def render_pixels_refill(
         done = done | (shade & ~cont)
         n_rays = n_rays + jnp.sum(shade) * num_lights
 
-        # Retire finished paths into the film. Indexing by work item (unique
-        # per path by construction) instead of pixel slot lets the scatter
-        # skip TPU's slow duplicate-combining path; the per-pixel film is a
-        # dense (spp, n_pix) reduction at the end.
-        film = film.at[item_id].add(jnp.where(done[:, None], rad, 0.0),
-                                    unique_indices=True)
+        # Retire finished paths: their radiance leaves the wavefront here
+        # (zero contributions at non-retiring lanes' own items are harmless
+        # and keep the index set unique).
+        done_rad = jnp.where(done[:, None], rad, 0.0)
+        film_idx = item_id
 
         # Refill dead lanes from the work queue (item j -> pixel slot
         # j % n_pix, sample j // n_pix: sample-major, so refills walk the
@@ -537,31 +567,66 @@ def render_pixels_refill(
                  rad),
             )
 
-        return (q, film, n_rays, active, item_id, keys, depth, kind,
-                origin, direction, beta, rad)
+        return ((q, n_rays, active, item_id, keys, depth, kind)
+                + pack_f(origin, direction, beta, rad),
+                done_rad, film_idx)
 
-    carry0 = (
+    state0 = (
         jnp.int32(r),                      # q: first r items issued below
-        jnp.zeros((n_items, 3), jnp.float32),  # per-item film
         jnp.float32(0),                    # n_rays
         jnp.ones((r,), bool),              # active
         slot0,                             # item_id: initial items 0..r-1
         keys0,
         jnp.zeros((r,), jnp.int32),        # depth
         jnp.full((r,), KIND_PRIMARY, jnp.int32),
+    ) + pack_f(
         o0,
         d0,
         jnp.ones((r, 3), jnp.float32),     # beta
         jnp.zeros((r, 3), jnp.float32),    # rad
     )
 
-    def cond(carry):
-        q, active = carry[0], carry[3]
-        return (q < n_items) | jnp.any(active)
+    if differentiable:
+        # Static iteration budget for reverse-mode; retired radiance leaves
+        # the loop as stacked scan outputs (flattened so the stacked minor
+        # dim is lane-sized, not 3) and is scattered into the film once
+        # afterwards.
+        e_seg = 1.0 / (1.0 - opts.rr_probability)  # upper bound on E[segments]
+        n_iter = int(np.ceil(n_items * e_seg * 1.2 / r)) + opts.max_depth + 4
 
-    carry = jax.lax.while_loop(cond, body, carry0)
-    film = carry[1].reshape(spp, n_pix, 3).sum(axis=0)
-    return film / spp, carry[2]
+        def scan_body(state, _):
+            state, done_rad, film_idx = jax.checkpoint(step)(state)
+            return state, (done_rad.T.reshape(-1), film_idx)
+
+        state, (rad_out, idx_out) = jax.lax.scan(
+            scan_body, state0, None, length=n_iter
+        )
+        rad_out = rad_out.reshape(n_iter, 3, r).transpose(0, 2, 1)
+        film = jnp.zeros((n_items, 3), jnp.float32).at[
+            idx_out.reshape(-1)
+        ].add(rad_out.reshape(-1, 3))
+        n_rays = state[1]
+    else:
+        def cond(carry):
+            state, film = carry
+            q, active = state[0], state[2]
+            return (q < n_items) | jnp.any(active)
+
+        def body(carry):
+            state, film = carry
+            state, done_rad, film_idx = step(state)
+            # Per-lane item ids are unique by construction (non-retiring
+            # lanes add zeros at their own item), letting the scatter skip
+            # TPU's slow duplicate-combining path.
+            film = film.at[film_idx].add(done_rad, unique_indices=True)
+            return state, film
+
+        state, film = jax.lax.while_loop(
+            cond, body, (state0, jnp.zeros((n_items, 3), jnp.float32))
+        )
+        n_rays = state[1]
+    film = film.reshape(spp, n_pix, 3).sum(axis=0)
+    return film / spp, n_rays
 
 
 def render_pixels(
@@ -583,8 +648,9 @@ def render_pixels(
 
     Returns (mean radiance (R,3), rays traced ()).
     """
-    if not differentiable and opts.refill:
-        return render_pixels_refill(scene, bvh, opts, pixel_ids, sample_offset)
+    if opts.refill:
+        return render_pixels_refill(scene, bvh, opts, pixel_ids, sample_offset,
+                                    differentiable=differentiable)
 
     compat = opts.compat
 
@@ -625,9 +691,10 @@ def render_image_stats(
     chunk = min(opts.chunk_size, max(1024, n))
     ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts))  # (n_pad,)
 
-    if not differentiable and opts.refill:
+    if opts.refill:
         ids = jnp.asarray(ids_np)
-        out, rays = render_pixels_refill(scene, bvh, opts, ids, lanes=chunk)
+        out, rays = render_pixels_refill(scene, bvh, opts, ids, lanes=chunk,
+                                         differentiable=differentiable)
         flat = jnp.zeros((n, 3), out.dtype).at[ids].set(out)
         return flat.reshape(h, w, 3), rays
 
