@@ -560,12 +560,23 @@ def render_pixels_refill(
             bucket = jnp.where(kind == KIND_PRIMARY, jnp.int32(1 << 20), cluster)
             sort_key = jnp.where(active, bucket * 8 + octant, jnp.int32(2**30))
             perm = jnp.argsort(sort_key)
-            (active, item_id, keys, depth, kind, origin, direction, beta,
-             rad) = jax.tree_util.tree_map(
-                lambda a: jnp.take(a, perm, axis=0),
-                (active, item_id, keys, depth, kind, origin, direction, beta,
-                 rad),
-            )
+            # ONE row gather for the whole permutable state: separate takes
+            # of (r,) int fields lower to pathologically slow scalar-layout
+            # gathers on TPU (profiled at ~2.6 ms each); ints ride along as
+            # bitcast f32 columns instead.
+            ints = jnp.stack(
+                [item_id, jax.lax.bitcast_convert_type(keys, jnp.int32),
+                 depth, kind, active.astype(jnp.int32)], axis=1)
+            payload = jnp.concatenate(
+                [origin, direction, beta, rad,
+                 jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
+            payload = jnp.take(payload, perm, axis=0)
+            origin, direction = payload[:, 0:3], payload[:, 3:6]
+            beta, rad = payload[:, 6:9], payload[:, 9:12]
+            ints = jax.lax.bitcast_convert_type(payload[:, 12:17], jnp.int32)
+            item_id, depth, kind = ints[:, 0], ints[:, 2], ints[:, 3]
+            keys = jax.lax.bitcast_convert_type(ints[:, 1], jnp.uint32)
+            active = ints[:, 4] != 0
 
         return ((q, n_rays, active, item_id, keys, depth, kind)
                 + pack_f(origin, direction, beta, rad),

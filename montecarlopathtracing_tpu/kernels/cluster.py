@@ -30,9 +30,12 @@ constants so the inner loop is pure broadcast FMA with zero cross products:
     hit = signs of c_1, c_2, c_3 agree       (same accept set, since
                                               cross(e, q).n == q.(n x e))
 
-Early termination mirrors the traversal's best-t pruning: candidates are
-ordered by slab entry distance and the loop exits once the next cluster's
-entry exceeds every live ray's best hit.
+Large triangles are segregated into their own leading clusters at scene load
+(scene/loader.py) so Morton ranges don't inherit near-scene-sized bounding
+boxes; a best-t early exit was measured net-negative on v5e (the per-candidate
+vector->scalar max sync outweighs the skipped work in closed scenes), so the
+test loop is a plain counted fori with an order-independent lexicographic
+(t, triangle id) best-hit update.
 """
 
 from __future__ import annotations
@@ -183,12 +186,12 @@ def _candidate_keys(rays, caabb, tile: int, mega: int, interpret: bool):
 def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
     """Candidate cluster lists per ray subtile, nearest slab entry first.
 
-    Returns cand (nSteps, mega, 2C+8) i32: per subtile row =
-    [count, 7 pad, cluster ids (C), slab entry distances as f32 bits (C)].
-    Entries are ascending, so the test kernel can stop as soon as the next
-    cluster's entry exceeds every live ray's best hit; entry distances are
-    non-negative floats, so their i32 bit patterns order identically
-    (SMEM-friendly: the kernel compares bits, no scalar bitcasts needed).
+    Returns cand (nSteps, mega, C+8) i32: per subtile row = [count, 7 pad,
+    cluster ids (C)].  (A best-t early exit over the sorted entries was
+    measured NET-NEGATIVE on v5e: the per-candidate `max(best_t)` reduce is a
+    vector->scalar sync that costs more than the skipped clusters save in a
+    closed scene, so the kernel runs the plain counted loop and correctness
+    never depends on visit order — see the lexicographic update below.)
     """
     c = cmin.shape[0]
     caabb = jnp.concatenate(
@@ -196,27 +199,23 @@ def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
     )  # (8, C)
     key = _candidate_keys(rays, caabb, tile, mega, interpret)  # (nT, C)
     iota = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), key.shape)
-    enter_sorted, order = jax.lax.sort_key_val(key, iota, dimension=1)
+    _, order = jax.lax.sort_key_val(key, iota, dimension=1)
     counts = jnp.sum(key < BIG, axis=1, dtype=jnp.int32)[:, None]
-    enter_bits = jax.lax.bitcast_convert_type(enter_sorted, jnp.int32)
     cand = jnp.concatenate(
-        [counts, jnp.zeros((key.shape[0], 7), jnp.int32), order, enter_bits],
-        axis=1,
+        [counts, jnp.zeros((key.shape[0], 7), jnp.int32), order], axis=1
     )
-    return cand.reshape(-1, mega, 2 * c + 8)
+    return cand.reshape(-1, mega, c + 8)
 
 
 def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
-                      *, width: int, tile: int, mega: int, n_clusters: int):
+                      *, width: int, tile: int, mega: int):
     """One grid step = ``mega`` ray subtiles of ``tile`` rays.
 
-    cand: SMEM (1, mega, 2C+8) i32 rows [count, 7 pad, cluster ids (C),
-    ascending slab-entry f32 bits (C)]; rays: VMEM (mega*tile, 8) packed
-    [ox oy oz dx dy dz 0 0]; tconst: VMEM (C, 16, width), resident across
-    all grid steps.
+    cand: SMEM (1, mega, C+8) i32 rows [count, 7 pad, cluster ids (C)];
+    rays: VMEM (mega*tile, 8) packed [ox oy oz dx dy dz 0 0]; tconst: VMEM
+    (C, 16, width), resident across all grid steps.
 
-    Front-to-back with early exit (the next cluster's entry exceeds every
-    live ray's best t), and a lexicographic (t, triangle id) best so ties at
+    The best hit is tracked lexicographically on (t, triangle id), so ties at
     identical t resolve to the lowest triangle index in ANY visit order —
     exactly matching a full in-order scan (brute force / the reference's DFS,
     MTPC/pathTracing.cpp:355-361).
@@ -227,14 +226,8 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
         dx, dy, dz = sub[:, 3:4], sub[:, 4:5], sub[:, 5:6]
         n = cand_ref[0, s, 0]
 
-        def cond(state):
-            k, bt, bi = state
-            # f32 bit patterns of non-negative floats compare like the floats.
-            max_bits = jnp.max(jax.lax.bitcast_convert_type(bt, jnp.int32))
-            return (k < n) & (cand_ref[0, s, 8 + n_clusters + k] <= max_bits)
-
-        def body(state):
-            k, bt, bi = state
+        def body(k, state):
+            bt, bi = state
             cid = cand_ref[0, s, 8 + k]
             tc = tconst_ref[cid]  # (16, width)
 
@@ -256,11 +249,11 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
             better = (tj < bt) | ((tj == bt) & (tj < 1e30) & (tri < bi))
             bt = jnp.where(better, tj, bt)
             bi = jnp.where(better, tri, bi)
-            return k + 1, bt, bi
+            return bt, bi
 
         bt0 = jnp.full((tile, 1), 1e30, jnp.float32)
         bi0 = jnp.full((tile, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
-        _, bt, bi = jax.lax.while_loop(cond, body, (jnp.int32(0), bt0, bi0))
+        bt, bi = jax.lax.fori_loop(0, n, body, (bt0, bi0))
         bt_ref[pl.ds(s * tile, tile), :] = bt
         bi_ref[pl.ds(s * tile, tile), :] = jnp.where(bt < 1e30, bi, -1)
         return 0
@@ -276,12 +269,12 @@ def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
     n_steps = rays.shape[0] // (tile * mega)
     c = accel.num_clusters
     kernel = functools.partial(_intersect_kernel, width=accel.width,
-                               tile=tile, mega=mega, n_clusters=c)
+                               tile=tile, mega=mega)
     bt, bi = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, mega, 2 * c + 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, mega, c + 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile * mega, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

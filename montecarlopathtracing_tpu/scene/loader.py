@@ -250,10 +250,24 @@ def build_scene(
         arr[missing] = gn[missing]
 
     # Morton order over centroids (MTPC/sceneManagement.cpp:176-179 + sort at
-    # MTPC/MTPC.cpp:44). Stable sort keeps the reference's tie order.
+    # MTPC/MTPC.cpp:44), with one TPU-motivated refinement: triangles whose
+    # own AABB is a large fraction of the scene (walls, floors — e.g. the 14
+    # full-wall quads of cornell-box) are segregated to the front.  A Morton
+    # range that mixes one wall triangle with furniture gets a near-scene-
+    # sized bounding box, which defeats the cluster intersector's culling —
+    # measured: 10 of 13 average candidate clusters per ray subtile were
+    # such bloated boxes.  Segregation is estimator-neutral (triangle order
+    # only affects equal-t tie-breaking, and the oracle shares these arrays).
     centroids = (p0 + p1 + p2) / 3.0
     codes = morton_codes_np(centroids, compat_bounds=options.compat.hardcoded_morton_bounds)
-    order = np.argsort(codes, kind="stable")
+    ext = np.maximum(np.maximum(p0, p1), p2) - np.minimum(np.minimum(p0, p1), p2)
+    tri_sa = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 0] * ext[:, 2]
+    scene_ext = (np.maximum(np.maximum(p0, p1), p2).max(axis=0)
+                 - np.minimum(np.minimum(p0, p1), p2).min(axis=0))
+    scene_sa = (scene_ext[0] * scene_ext[1] + scene_ext[1] * scene_ext[2]
+                + scene_ext[0] * scene_ext[2])
+    big = tri_sa > 0.005 * max(scene_sa, 1e-30)
+    order = np.lexsort((np.arange(num_faces), codes, (~big).astype(np.int8)))
 
     p0, p1, p2 = p0[order], p1[order], p2[order]
     nn0, nn1, nn2 = nn0[order], nn1[order], nn2[order]
