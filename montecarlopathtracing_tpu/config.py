@@ -89,10 +89,12 @@ class RenderOptions:
     # accel.lbvh.packet_intersect). chunk_size must divide by packet_size.
     packet_size: int = 1024
     leaf_width: int = 8
-    # Cluster kernel shape: rays per tile / triangles per cluster
-    # (see kernels/cluster.py).
+    # Cluster kernel shape: rays per tile / triangles per cluster / clusters
+    # tested per loop iteration as one concatenated panel (kernels/cluster.py:
+    # culling granularity = width, VPU lane width = width * group).
     cluster_rays: int = 256
-    cluster_width: int = 128
+    cluster_width: int = 32
+    cluster_group: int = 4
     # Wavefront ray sorting by (hit cluster, direction octant) per bounce —
     # restores tile coherence for shadow/bounce rays. None = on iff the
     # cluster intersector is active. Results are bitwise independent of this.

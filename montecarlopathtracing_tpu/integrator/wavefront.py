@@ -117,6 +117,7 @@ def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
         accel = build_cluster_accel(scene, width=opts.cluster_width)
         return cluster_intersect(
             accel, origin, direction, tile=opts.cluster_rays,
+            group=opts.cluster_group,
             interpret=True if kind == "cluster_interpret" else None,
         )
     if kind == "bvh_perray":

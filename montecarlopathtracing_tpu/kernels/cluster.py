@@ -184,23 +184,25 @@ def _candidate_keys(rays, caabb, tile: int, mega: int, interpret: bool):
 
 
 def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
-    """Candidate cluster lists per ray subtile, nearest slab entry first.
+    """Candidate cluster lists per ray subtile, ascending cluster id.
 
     Returns cand (nSteps, mega, C+8) i32: per subtile row = [count, 7 pad,
-    cluster ids (C)].  (A best-t early exit over the sorted entries was
-    measured NET-NEGATIVE on v5e: the per-candidate `max(best_t)` reduce is a
-    vector->scalar sync that costs more than the skipped clusters save in a
-    closed scene, so the kernel runs the plain counted loop and correctness
-    never depends on visit order — see the lexicographic update below.)
+    hit cluster ids (C) ascending, then the non-hit ids].  Ascending order
+    makes the test kernel's within-group argmin resolve equal-t ties to the
+    lowest triangle index, exactly matching a full in-order scan.  (A best-t
+    early exit over entry-sorted candidates was measured NET-NEGATIVE on
+    v5e: the per-candidate `max(best_t)` reduce is a vector->scalar sync that
+    costs more than the skipped clusters save in a closed scene.)
     """
     c = cmin.shape[0]
     caabb = jnp.concatenate(
         [cmin.T, cmax.T, jnp.zeros((2, c), cmin.dtype)], axis=0
     )  # (8, C)
     key = _candidate_keys(rays, caabb, tile, mega, interpret)  # (nT, C)
+    hit = key < BIG
     iota = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), key.shape)
-    _, order = jax.lax.sort_key_val(key, iota, dimension=1)
-    counts = jnp.sum(key < BIG, axis=1, dtype=jnp.int32)[:, None]
+    order = jnp.sort(jnp.where(hit, iota, iota + c), axis=1) % c
+    counts = jnp.sum(hit, axis=1, dtype=jnp.int32)[:, None]
     cand = jnp.concatenate(
         [counts, jnp.zeros((key.shape[0], 7), jnp.int32), order], axis=1
     )
@@ -208,17 +210,25 @@ def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
 
 
 def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
-                      *, width: int, tile: int, mega: int):
+                      *, width: int, tile: int, mega: int, group: int):
     """One grid step = ``mega`` ray subtiles of ``tile`` rays.
 
     cand: SMEM (1, mega, C+8) i32 rows [count, 7 pad, cluster ids (C)];
     rays: VMEM (mega*tile, 8) packed [ox oy oz dx dy dz 0 0]; tconst: VMEM
     (C, 16, width), resident across all grid steps.
 
-    The best hit is tracked lexicographically on (t, triangle id), so ties at
-    identical t resolve to the lowest triangle index in ANY visit order —
-    exactly matching a full in-order scan (brute force / the reference's DFS,
-    MTPC/pathTracing.cpp:355-361).
+    Each loop iteration tests ``group`` candidate clusters at once: their
+    constant blocks are concatenated into one (16, group*width) panel so the
+    dense test runs at full VPU lane width while culling stays at the finer
+    ``width`` granularity — the flop/cull sweet spot (width 32, group 4
+    behaves like a 128-wide test with 4x tighter boxes).  Past-the-count ids
+    in the final partial group are just non-hit clusters — testing them is
+    redundant but correct.
+
+    The best hit is tracked lexicographically on (t, triangle id); candidate
+    ids ascend, so within-panel argmin ties and cross-panel updates both
+    resolve to the lowest triangle index, exactly matching a full in-order
+    scan (brute force / the reference's DFS, MTPC/pathTracing.cpp:355-361).
     """
     def subtile(s, _):
         sub = rays_ref[pl.ds(s * tile, tile), :]
@@ -228,15 +238,15 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
 
         def body(k, state):
             bt, bi = state
-            cid = cand_ref[0, s, 8 + k]
-            tc = tconst_ref[cid]  # (16, width)
+            cids = [cand_ref[0, s, 8 + k * group + g] for g in range(group)]
+            tc = jnp.concatenate([tconst_ref[c] for c in cids], axis=1)
 
             def dot(r, ax, ay, az):
                 return ax * tc[r:r + 1] + ay * tc[r + 1:r + 2] + az * tc[r + 2:r + 3]
 
             n_o = dot(_R_N, ox, oy, oz)
             n_d = dot(_R_N, dx, dy, dz)
-            t = (tc[_R_KN:_R_KN + 1] - n_o) / n_d  # (tile, W)
+            t = (tc[_R_KN:_R_KN + 1] - n_o) / n_d  # (tile, group*W)
             c1 = dot(_R_M1, ox, oy, oz) + t * dot(_R_M1, dx, dy, dz) - tc[_R_K1:_R_K1 + 1]
             c2 = dot(_R_M2, ox, oy, oz) + t * dot(_R_M2, dx, dy, dz) - tc[_R_K2:_R_K2 + 1]
             c3 = dot(_R_M3, ox, oy, oz) + t * dot(_R_M3, dx, dy, dz) - tc[_R_K3:_R_K3 + 1]
@@ -245,7 +255,11 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
             tm = jnp.where(ok, t, 1e30)
             tj = jnp.min(tm, axis=1, keepdims=True)  # (tile, 1)
             j = jnp.argmin(tm, axis=1).reshape(tile, 1).astype(jnp.int32)
-            tri = cid * width + j
+            blk = j // width
+            cid_j = jnp.full_like(j, cids[0])
+            for g in range(1, group):
+                cid_j = jnp.where(blk == g, cids[g], cid_j)
+            tri = cid_j * width + (j - blk * width)
             better = (tj < bt) | ((tj == bt) & (tj < 1e30) & (tri < bi))
             bt = jnp.where(better, tj, bt)
             bi = jnp.where(better, tri, bi)
@@ -253,7 +267,8 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
 
         bt0 = jnp.full((tile, 1), 1e30, jnp.float32)
         bi0 = jnp.full((tile, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
-        bt, bi = jax.lax.fori_loop(0, n, body, (bt0, bi0))
+        n_groups = (n + (group - 1)) // group
+        bt, bi = jax.lax.fori_loop(0, n_groups, body, (bt0, bi0))
         bt_ref[pl.ds(s * tile, tile), :] = bt
         bi_ref[pl.ds(s * tile, tile), :] = jnp.where(bt < 1e30, bi, -1)
         return 0
@@ -262,14 +277,14 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "mega", "interpret")
+    jax.jit, static_argnames=("tile", "mega", "group", "interpret")
 )
 def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
-                              tile: int, mega: int, interpret: bool):
+                              tile: int, mega: int, group: int, interpret: bool):
     n_steps = rays.shape[0] // (tile * mega)
     c = accel.num_clusters
     kernel = functools.partial(_intersect_kernel, width=accel.width,
-                               tile=tile, mega=mega)
+                               tile=tile, mega=mega, group=min(group, c))
     bt, bi = pl.pallas_call(
         kernel,
         grid=(n_steps,),
@@ -300,7 +315,7 @@ def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
 
 
 def cluster_intersect(accel: ClusterAccel, origin, direction,
-                      tile: int = 256, mega: int = 16,
+                      tile: int = 256, mega: int = 16, group: int = 4,
                       interpret: bool | None = None):
     """Nearest-hit query: (hit (R,) bool, t (R,) f32, tri (R,) i32).
 
@@ -326,7 +341,7 @@ def cluster_intersect(accel: ClusterAccel, origin, direction,
     zeros = jnp.zeros((origin.shape[0], 2), origin.dtype)
     rays = jnp.concatenate([origin, direction, zeros], axis=1)  # (R, 8)
     cand = _candidates(rays, accel.cmin, accel.cmax, tile, mega, interpret)
-    bt, bi = _cluster_intersect_padded(accel, rays, cand, tile, mega, interpret)
+    bt, bi = _cluster_intersect_padded(accel, rays, cand, tile, mega, group, interpret)
     bt, bi = bt[:r], bi[:r]
     hit = bi >= 0
     return hit, jnp.where(hit, bt, BIG), bi
