@@ -127,46 +127,105 @@ def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
                             leaf_width=opts.leaf_width)
 
 
+# Packed material-row columns (see _shading_tables).
+_MF_KD = slice(0, 3)
+_MF_KS = slice(3, 6)
+_MF_EMIT = slice(6, 9)
+_MF_NS = 9
+_MF_NI = 10
+_MF_IS_EMITTER = 11
+_MF_HAS_TEX = 12
+_MF_TEX_OFF = 13
+_MF_TEX_H = 14
+_MF_TEX_W = 15
+
+
+def _shading_tables(scene):
+    """Packed per-triangle (T, 32) and per-material (M, 16) shading tables.
+
+    TPU gathers pay a large per-gather fixed cost; one row gather replaces the
+    ~13 separate per-field gathers of the hit record.  Scene-derived and
+    loop-invariant, so XLA hoists the packing out of the bounce loop.
+    """
+    t = scene.num_tris_padded
+    tab = jnp.concatenate(
+        [
+            scene.v0, scene.v1, scene.v2,          # 0-8
+            scene.n0, scene.n1, scene.n2,          # 9-17
+            scene.uv0, scene.uv1, scene.uv2,       # 18-23
+            jax.lax.bitcast_convert_type(
+                scene.mat_id.astype(jnp.int32), jnp.float32)[:, None],  # 24
+            jnp.zeros((t, 7), jnp.float32),
+        ],
+        axis=1,
+    )
+    mtab = jnp.concatenate(
+        [
+            scene.kd, scene.ks, scene.emission,                   # 0-8
+            scene.ns[:, None], scene.ni[:, None],                 # 9, 10
+            scene.is_emitter[:, None].astype(jnp.float32),        # 11
+            scene.has_texture[:, None].astype(jnp.float32),       # 12
+            scene.tex_offset[:, None].astype(jnp.float32),        # 13
+            scene.tex_h[:, None].astype(jnp.float32),             # 14
+            scene.tex_w[:, None].astype(jnp.float32),             # 15
+        ],
+        axis=1,
+    )
+    return tab, mtab
+
+
+def _material_rows(scene, mtab, mat):
+    """(R, 16) material fields. Small tables go through a one-hot matmul
+    instead of a gather (differentiable w.r.t. kd/ks/emission via the matmul
+    transpose, and much faster than TPU's scalar gather path)."""
+    m = scene.num_materials
+    if m <= 64:
+        onehot = (mat[:, None] == jnp.arange(m, dtype=mat.dtype)[None, :])
+        return onehot.astype(jnp.float32) @ mtab
+    return mtab[mat]
+
+
 def _gather_hit(scene, opts, origin, direction, t, tri):
-    """Hit record: position, interpolated shading normal, material id, kd.
+    """Hit record: position, interpolated shading normal, material row, kd.
 
     Mirrors the leaf bookkeeping of bvh_intersect (MTPC/pathTracing.cpp:341-361)
-    plus shade's texture-vs-kd selection (:147-163).
+    plus shade's texture-vs-kd selection (:147-163).  Returns
+    (p (R,3), pn (R,3), matf (R,16) packed material fields, kd (R,3)).
     """
+    tab, mtab = _shading_tables(scene)
     tri_c = jnp.maximum(tri, 0)
+    rowt = tab[tri_c]  # (R, 32): the one per-triangle gather
     p = origin + direction * jax.lax.stop_gradient(t)[:, None]
-    p0, p1, p2 = scene.v0[tri_c], scene.v1[tri_c], scene.v2[tri_c]
+    p0, p1, p2 = rowt[:, 0:3], rowt[:, 3:6], rowt[:, 6:9]
     bary = jax.lax.stop_gradient(barycentric(p, p0, p1, p2))
     pn = (
-        scene.n0[tri_c] * bary[:, 0:1]
-        + scene.n1[tri_c] * bary[:, 1:2]
-        + scene.n2[tri_c] * bary[:, 2:3]
+        rowt[:, 9:12] * bary[:, 0:1]
+        + rowt[:, 12:15] * bary[:, 1:2]
+        + rowt[:, 15:18] * bary[:, 2:3]
     )
     if not opts.compat.unnormalized_shading_normal:
         pn = normalize(pn)
     pn = jax.lax.stop_gradient(pn)
-    mat = scene.mat_id[tri_c]
+    mat = jax.lax.bitcast_convert_type(rowt[:, 24], jnp.int32)
+    matf = _material_rows(scene, mtab, mat)
+    kd = matf[:, _MF_KD]
 
-    # Texture fetch (quirk #8): row from interpolated vt.x, col from vt.y,
-    # frac wrap, nearest-neighbor; clamped at the high edge (the reference's
-    # int cast can index one past the image at frac -> 1).
-    row = (
-        scene.uv0[tri_c, 0] * bary[:, 0]
-        + scene.uv1[tri_c, 0] * bary[:, 1]
-        + scene.uv2[tri_c, 0] * bary[:, 2]
-    )
-    col = (
-        scene.uv0[tri_c, 1] * bary[:, 0]
-        + scene.uv1[tri_c, 1] * bary[:, 1]
-        + scene.uv2[tri_c, 1] * bary[:, 2]
-    )
-    h = scene.tex_h[mat]
-    w = scene.tex_w[mat]
-    r = jnp.clip((row - jnp.floor(row)) * h, 0, h.astype(jnp.float32) - 1).astype(jnp.int32)
-    c = jnp.clip((col - jnp.floor(col)) * w, 0, w.astype(jnp.float32) - 1).astype(jnp.int32)
-    texel = scene.atlas[scene.tex_offset[mat] + r * w + c]
-    kd = jnp.where(scene.has_texture[mat][:, None], texel, scene.kd[mat])
-    return p, pn, mat, kd
+    if scene.atlas.shape[0] > 1:  # static: any textures in the scene at all?
+        # Texture fetch (quirk #8): row from interpolated vt.x, col from
+        # vt.y, frac wrap, nearest-neighbor; clamped at the high edge (the
+        # reference's int cast can index one past the image at frac -> 1).
+        row = (rowt[:, 18] * bary[:, 0] + rowt[:, 20] * bary[:, 1]
+               + rowt[:, 22] * bary[:, 2])
+        col = (rowt[:, 19] * bary[:, 0] + rowt[:, 21] * bary[:, 1]
+               + rowt[:, 23] * bary[:, 2])
+        h = matf[:, _MF_TEX_H]
+        w = matf[:, _MF_TEX_W]
+        r = jnp.clip((row - jnp.floor(row)) * h, 0, h - 1).astype(jnp.int32)
+        c = jnp.clip((col - jnp.floor(col)) * w, 0, w - 1).astype(jnp.int32)
+        idx = matf[:, _MF_TEX_OFF].astype(jnp.int32) + r * w.astype(jnp.int32) + c
+        texel = scene.atlas[idx]
+        kd = jnp.where(matf[:, _MF_HAS_TEX:_MF_HAS_TEX + 1] > 0, texel, kd)
+    return p, pn, matf, kd
 
 
 def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
@@ -185,9 +244,11 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
         u_pick, u1, u2, u3 = u[:, base], u[:, base + 1], u[:, base + 2], u[:, base + 3]
         j = pick_light_face(scene.light_face_cum_area[li], scene.light_total_area[li], u_pick)
         tri = scene.light_face_tri[li][j]
+        tab, _ = _shading_tables(scene)
+        lrow = tab[tri]  # one row gather for the light triangle's fields
         xl, vnl = sample_triangle_point(
-            scene.v0[tri], scene.v1[tri], scene.v2[tri],
-            scene.n0[tri], scene.n1[tri], scene.n2[tri],
+            lrow[:, 0:3], lrow[:, 3:6], lrow[:, 6:9],
+            lrow[:, 9:12], lrow[:, 12:15], lrow[:, 15:18],
             u1, u2, u3, simplex=compat.simplex_light_sampling,
         )
         delta = xl - p
@@ -196,12 +257,21 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
 
         # Shadow ray with the same +0.01 origin nudge (:208) and a FULL
         # nearest-hit query, exactly like the reference (no early-out any-hit).
-        # Dead lanes are parked far outside every scene so the cluster kernel
-        # sees empty candidate lists for them (free after wavefront sorting).
-        so = jnp.where(alive[:, None], p + dirn * opts.ray_epsilon, 1e9)
+        # Dead lanes — and lanes whose kd is exactly black (pure specular /
+        # glass), whose NEE contribution is identically zero — are parked far
+        # outside every scene so the cluster kernel sees empty candidate
+        # lists for them (free after wavefront sorting).
+        lit = alive & jnp.any(kd != 0, axis=-1)
+        so = jnp.where(lit[:, None], p + dirn * opts.ray_epsilon, 1e9)
         hit_s, t_s, tri_s = intersect_any(scene, bvh, so, dirn, opts)
         if compat.material_equality_visibility:
-            vis = hit_s & (scene.mat_id[jnp.maximum(tri_s, 0)] == scene.light_mat[li])
+            # f32-bitcast 1D gather: int-typed gathers lower to a pathological
+            # scalar-layout path on TPU.
+            matid_f = jax.lax.bitcast_convert_type(
+                scene.mat_id.astype(jnp.int32), jnp.float32)
+            m_s = jax.lax.bitcast_convert_type(
+                matid_f[jnp.maximum(tri_s, 0)], jnp.int32)
+            vis = hit_s & (m_s == scene.light_mat[li])
         else:
             vis = (~hit_s) | (t_s + opts.ray_epsilon >= dist_real - 1e-3)
 
@@ -222,15 +292,17 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
     return l_dir
 
 
-def _next_ray(scene, opts: RenderOptions, p, pn, mat, kd, incoming, u):
+def _next_ray(scene, opts: RenderOptions, p, pn, matf, kd, incoming, u):
     """Lobe/event selection (nextRay, MTPC/pathTracing.cpp:66-134).
 
     incoming: the current ray direction (the reference passes wo = -incoming
-    and immediately re-negates it). Returns (origin, direction, ray_type,
-    weight).  Directions are detached; the weight (kd/ks/1) carries gradients.
+    and immediately re-negates it). matf: packed (R,16) material rows from
+    _gather_hit. Returns (origin, direction, ray_type, weight).  Directions
+    are detached; the weight (kd/ks/1) carries gradients.
     """
     compat = opts.compat
-    ni = scene.ni[mat]
+    ni = matf[:, _MF_NI]
+    ks = matf[:, _MF_KS]
     cos_in = jnp.sum(incoming * pn, axis=-1)  # = (-wo).pn (:80)
     exiting = cos_in > 0
     normal_r = jnp.where(exiting[:, None], -pn, pn)
@@ -247,12 +319,12 @@ def _next_ray(scene, opts: RenderOptions, p, pn, mat, kd, incoming, u):
     type_trans = jnp.where(ok_refr, RAY_TRANSMISSION, RAY_SPECULAR)
 
     kd_n = jnp.linalg.norm(jax.lax.stop_gradient(kd), axis=-1)
-    ks_n = jnp.linalg.norm(jax.lax.stop_gradient(scene.ks[mat]), axis=-1)
+    ks_n = jnp.linalg.norm(jax.lax.stop_gradient(ks), axis=-1)
     ratio = jnp.where(ks_n > 0, kd_n / jnp.maximum(ks_n, 1e-30), jnp.inf)
     spec = (ks_n != 0) & (ratio < u[:, 2])
     mirror = reflect(incoming, pn)
     axis = jnp.where(spec[:, None], mirror, pn)
-    d_lobe = sample_lobe(axis, u[:, 3], u[:, 4], ~spec, scene.ns[mat])
+    d_lobe = sample_lobe(axis, u[:, 3], u[:, 4], ~spec, matf[:, _MF_NS])
     type_lobe = jnp.where(spec, RAY_SPECULAR, RAY_DIFFUSE)
 
     direction = jax.lax.stop_gradient(
@@ -270,7 +342,7 @@ def _next_ray(scene, opts: RenderOptions, p, pn, mat, kd, incoming, u):
     weight = jnp.where(
         (ray_type == RAY_TRANSMISSION)[:, None],
         jnp.ones_like(kd),
-        jnp.where((ray_type == RAY_SPECULAR)[:, None], scene.ks[mat], kd),
+        jnp.where((ray_type == RAY_SPECULAR)[:, None], ks, kd),
     )
     return origin, direction, ray_type, weight
 
@@ -327,7 +399,9 @@ def trace_paths(
         new_o, new_d, ray_type, weight = _next_ray(scene, opts, p, pn, mat, kd, direction, u)
 
         if do_sort:
-            cluster = jnp.maximum(tri, 0) // opts.cluster_width
+            w = opts.cluster_width
+            cluster = (jnp.maximum(tri, 0) >> (w.bit_length() - 1)
+                       if w & (w - 1) == 0 else jnp.maximum(tri, 0) // w)
             octant = (
                 (new_d[:, 0] > 0).astype(jnp.int32) * 4
                 + (new_d[:, 1] > 0).astype(jnp.int32) * 2
@@ -484,22 +558,23 @@ def render_pixels_refill(
         hit, t, tri = intersect_any(scene, bvh, o_park, direction, opts)
         n_rays = n_rays + jnp.sum(active)
 
-        mat = scene.mat_id[jnp.maximum(tri, 0)]
-        emit = hit & scene.is_emitter[mat]
+        # One packed row gather serves both the arrival logic and shading.
+        p, pn, matf, kd = _gather_hit(scene, opts, origin, direction, t, tri)
+        emit = hit & (matf[:, _MF_IS_EMITTER] > 0)
+        emission = matf[:, _MF_EMIT]
         is_prim = kind == KIND_PRIMARY
         # Emitter-hit terms: primary returns the light radiance
         # (MTPC/pathTracing.cpp:141-144); SPECULAR/TRANSMISSION bounces see
         # emitters, DIFFUSE does not (NEE double-count guard, :247-261).
         add_prim = active & is_prim & emit
-        rad = rad + jnp.where(add_prim[:, None], scene.emission[mat], 0.0)
+        rad = rad + jnp.where(add_prim[:, None], emission, 0.0)
         add_spec = active & ~is_prim & emit & (kind != RAY_DIFFUSE)
-        rad = rad + jnp.where(add_spec[:, None], beta * scene.emission[mat], 0.0)
+        rad = rad + jnp.where(add_spec[:, None], beta * emission, 0.0)
 
         shade = active & hit & ~emit & (depth < opts.max_depth)
         done = active & ~shade
 
         u = rng.bounce_uniforms(keys, depth, n_slots)
-        p, pn, mat_s, kd = _gather_hit(scene, opts, origin, direction, t, tri)
         rad = rad + jnp.where(
             shade[:, None],
             beta * _nee_direct(scene, bvh, opts, p, pn, kd, u, shade),
@@ -507,7 +582,7 @@ def render_pixels_refill(
         )
         cont = shade & (u[:, 0] < opts.rr_probability)
         new_o, new_d, rtype, weight = _next_ray(
-            scene, opts, p, pn, mat_s, kd, direction, u
+            scene, opts, p, pn, matf, kd, direction, u
         )
         beta = jnp.where(cont[:, None], (beta / opts.rr_probability) * weight, beta)
         done = done | (shade & ~cont)
@@ -552,7 +627,9 @@ def render_pixels_refill(
         if do_sort:
             # Coherence grouping: bounce segments by (origin cluster, new
             # direction octant); fresh camera segments share one bucket.
-            cluster = jnp.maximum(tri, 0) // opts.cluster_width
+            w = opts.cluster_width
+            cluster = (jnp.maximum(tri, 0) >> (w.bit_length() - 1)
+                       if w & (w - 1) == 0 else jnp.maximum(tri, 0) // w)
             octant = (
                 (direction[:, 0] > 0).astype(jnp.int32) * 4
                 + (direction[:, 1] > 0).astype(jnp.int32) * 2

@@ -201,7 +201,10 @@ def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
     key = _candidate_keys(rays, caabb, tile, mega, interpret)  # (nT, C)
     hit = key < BIG
     iota = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), key.shape)
-    order = jnp.sort(jnp.where(hit, iota, iota + c), axis=1) % c
+    order = jnp.sort(jnp.where(hit, iota, iota + c), axis=1)
+    # values < 2c, so "mod c" is one compare+subtract (per-lane integer
+    # division is a slow multi-op VPU sequence — profiled at 0.6 ms/iter).
+    order = jnp.where(order >= c, order - c, order)
     counts = jnp.sum(hit, axis=1, dtype=jnp.int32)[:, None]
     cand = jnp.concatenate(
         [counts, jnp.zeros((key.shape[0], 7), jnp.int32), order], axis=1
