@@ -89,10 +89,12 @@ class RenderOptions:
     # accel.lbvh.packet_intersect). chunk_size must divide by packet_size.
     packet_size: int = 1024
     leaf_width: int = 8
-    # Cluster kernel shape: rays per tile / triangles per cluster / clusters
-    # tested per loop iteration as one concatenated panel (kernels/cluster.py:
-    # culling granularity = width, VPU lane width = width * group).
-    cluster_rays: int = 256
+    # Cluster kernel shape: rays per subtile / triangles per cluster /
+    # clusters tested per loop iteration as one concatenated panel
+    # (kernels/cluster.py: culling granularity = width, VPU lane width =
+    # width * group; smaller subtiles tighten the per-subtile candidate
+    # union at more loop iterations — 64/32/4 is the measured v5e optimum).
+    cluster_rays: int = 64
     cluster_width: int = 32
     cluster_group: int = 4
     # Wavefront ray sorting by (hit cluster, direction octant) per bounce —
