@@ -82,18 +82,26 @@ print("RESULT " + json.dumps({"rays": rays_b, "seconds": dt}))
 
 
 def _run_phase(code: str, cfg: dict, attempts: int = 2) -> dict:
+    last = ""
     for k in range(attempts):
-        proc = subprocess.run(
-            [sys.executable, "-c", code, json.dumps(cfg)],
-            capture_output=True, text=True, timeout=1800,
-        )
-        for line in proc.stdout.splitlines():
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code, json.dumps(cfg)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            out, err = proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:  # hung device counts as a failed attempt
+            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+            err += "\n[phase timed out after 1800s]"
+        for line in out.splitlines():
             if line.startswith("RESULT "):
                 return json.loads(line[len("RESULT "):])
-        if k == attempts - 1:
-            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-            raise RuntimeError("bench phase failed")
-        time.sleep(5)
+        last = out[-2000:] + err[-2000:]
+        if k < attempts - 1:
+            time.sleep(5)
+    sys.stderr.write(last)
+    raise RuntimeError("bench phase failed")
 
 
 def main() -> None:

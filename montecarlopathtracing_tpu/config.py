@@ -101,11 +101,14 @@ class RenderOptions:
     # restores tile coherence for shadow/bounce rays. None = on iff the
     # cluster intersector is active. Results are bitwise independent of this.
     sort_rays: Optional[bool] = None
-    # Persistent-wavefront lane refill (forward renders): retire finished
-    # paths and refill lanes with fresh samples instead of re-running the
-    # bounce loop at decaying occupancy. Same estimator and RNG streams; only
-    # the film's fp accumulation order differs. The differentiable path always
-    # uses the scan renderer.
+    # Persistent-wavefront lane refill: retire finished paths and refill
+    # lanes with fresh samples instead of re-running the bounce loop at
+    # decaying occupancy. Same estimator and RNG streams; only the film's fp
+    # accumulation order differs. Differentiable renders use the refill
+    # architecture too, as a lax.scan with a static iteration budget (paths
+    # still unfinished at the budget — probability ~0 at real lane counts —
+    # are dropped); refill=False selects the scan-over-samples renderer for
+    # both.
     refill: bool = True
     compat: CompatOptions = dataclasses.field(default_factory=CompatOptions)
 

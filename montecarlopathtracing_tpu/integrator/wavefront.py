@@ -177,11 +177,18 @@ def _shading_tables(scene):
 def _material_rows(scene, mtab, mat):
     """(R, 16) material fields. Small tables go through a one-hot matmul
     instead of a gather (differentiable w.r.t. kd/ks/emission via the matmul
-    transpose, and much faster than TPU's scalar gather path)."""
+    transpose, and much faster than TPU's scalar gather path).
+
+    Precision.HIGHEST is required: the TPU default matmul path is bf16, which
+    would quantize material constants — catastrophically for the integer-
+    valued texture offset/extent columns (a 512x512 atlas offset rounds to a
+    multiple of 2048) and subtly for kd/ks/emission (breaking the oracle
+    stream-lockstep contract)."""
     m = scene.num_materials
     if m <= 64:
         onehot = (mat[:, None] == jnp.arange(m, dtype=mat.dtype)[None, :])
-        return onehot.astype(jnp.float32) @ mtab
+        return jnp.matmul(onehot.astype(jnp.float32), mtab,
+                          precision=jax.lax.Precision.HIGHEST)
     return mtab[mat]
 
 
@@ -210,7 +217,7 @@ def _gather_hit(scene, opts, origin, direction, t, tri):
     matf = _material_rows(scene, mtab, mat)
     kd = matf[:, _MF_KD]
 
-    if scene.atlas.shape[0] > 1:  # static: any textures in the scene at all?
+    if scene.atlas.shape[0] > 0:  # static: untextured scenes have a (0,3) atlas
         # Texture fetch (quirk #8): row from interpolated vt.x, col from
         # vt.y, frac wrap, nearest-neighbor; clamped at the high edge (the
         # reference's int cast can index one past the image at frac -> 1).
@@ -239,12 +246,12 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
     num_lights = scene.num_lights
     l_dir = jnp.zeros_like(kd)
     pn_len = jnp.linalg.norm(pn, axis=-1)
+    tab, _ = _shading_tables(scene)  # once, not per light
     for li in range(num_lights):
         base = rng.N_BASE_SLOTS + 4 * li
         u_pick, u1, u2, u3 = u[:, base], u[:, base + 1], u[:, base + 2], u[:, base + 3]
         j = pick_light_face(scene.light_face_cum_area[li], scene.light_total_area[li], u_pick)
         tri = scene.light_face_tri[li][j]
-        tab, _ = _shading_tables(scene)
         lrow = tab[tri]  # one row gather for the light triangle's fields
         xl, vnl = sample_triangle_point(
             lrow[:, 0:3], lrow[:, 3:6], lrow[:, 6:9],
@@ -409,12 +416,27 @@ def trace_paths(
             )
             sort_key = jnp.where(alive, cluster * 8 + octant, jnp.int32(2**30))
             perm = jnp.argsort(sort_key)
-            (alive, cont, p, pn, kd, new_o, new_d, ray_type, weight, beta,
-             radiance, keys, slot, u) = jax.tree_util.tree_map(
-                lambda a: jnp.take(a, perm, axis=0),
-                (alive, cont, p, pn, kd, new_o, new_d, ray_type, weight, beta,
-                 radiance, keys, slot, u),
-            )
+            # ONE row gather for the whole permutable state ((R,) int/bool
+            # takes lower to pathologically slow scalar-layout gathers on
+            # TPU); ints/bools ride along as bitcast f32 columns.
+            ints = jnp.stack(
+                [ray_type, jax.lax.bitcast_convert_type(keys, jnp.int32),
+                 slot, alive.astype(jnp.int32), cont.astype(jnp.int32)],
+                axis=1)
+            payload = jnp.concatenate(
+                [p, pn, kd, new_o, new_d, weight, beta, radiance, u,
+                 jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
+            payload = jnp.take(payload, perm, axis=0)
+            p, pn, kd = payload[:, 0:3], payload[:, 3:6], payload[:, 6:9]
+            new_o, new_d = payload[:, 9:12], payload[:, 12:15]
+            weight, beta = payload[:, 15:18], payload[:, 18:21]
+            radiance = payload[:, 21:24]
+            u = payload[:, 24:24 + n_slots]
+            ints = jax.lax.bitcast_convert_type(
+                payload[:, 24 + n_slots:29 + n_slots], jnp.int32)
+            ray_type, slot = ints[:, 0], ints[:, 2]
+            keys = jax.lax.bitcast_convert_type(ints[:, 1], jnp.uint32)
+            alive, cont = ints[:, 3] != 0, ints[:, 4] != 0
 
         radiance = radiance + jnp.where(
             alive[:, None],

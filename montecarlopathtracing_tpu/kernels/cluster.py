@@ -333,6 +333,13 @@ def cluster_intersect(accel: ClusterAccel, origin, direction,
         interpret = jax.default_backend() != "tpu"
     tile = min(tile, max(8, r))
     mega = max(1, min(mega, r // tile if r >= tile else 1))
+    # The kernel's final partial group reads candidate ids up to index
+    # ceil(n/group)*group - 1, which stays inside the C-wide id region only
+    # when group divides C. C is a power of two, so round group down to one
+    # (an OOB SMEM read is index-clamped in interpret mode but undefined on
+    # hardware).
+    group = min(max(1, group), accel.num_clusters)
+    group = 1 << (group.bit_length() - 1)
     step = tile * mega
     pad = (-r) % step
     if pad:

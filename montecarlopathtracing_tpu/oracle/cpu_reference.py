@@ -143,16 +143,18 @@ def _trace(s, opts, keys, o, d, n_slots, num_lights):
         pn = (s["n0"][tri_c] * bary[:, :1] + s["n1"][tri_c] * bary[:, 1:2]
               + s["n2"][tri_c] * bary[:, 2:])
         mat = s["mat_id"][tri_c]
-        # textured kd
-        row = (s["uv0"][tri_c, 0] * bary[:, 0] + s["uv1"][tri_c, 0] * bary[:, 1]
-               + s["uv2"][tri_c, 0] * bary[:, 2])
-        col = (s["uv0"][tri_c, 1] * bary[:, 0] + s["uv1"][tri_c, 1] * bary[:, 1]
-               + s["uv2"][tri_c, 1] * bary[:, 2])
-        h, w = s["tex_h"][mat], s["tex_w"][mat]
-        rr_ = np.clip((row - np.floor(row)) * h, 0, h - 1).astype(int)
-        cc_ = np.clip((col - np.floor(col)) * w, 0, w - 1).astype(int)
-        texel = s["atlas"][s["tex_offset"][mat] + rr_ * w + cc_]
-        kd = np.where(s["has_texture"][mat][:, None], texel, s["kd"][mat])
+        kd = s["kd"][mat]
+        if s["atlas"].shape[0] > 0:  # untextured scenes carry a (0,3) atlas
+            # textured kd (quirk #8)
+            row = (s["uv0"][tri_c, 0] * bary[:, 0] + s["uv1"][tri_c, 0] * bary[:, 1]
+                   + s["uv2"][tri_c, 0] * bary[:, 2])
+            col = (s["uv0"][tri_c, 1] * bary[:, 0] + s["uv1"][tri_c, 1] * bary[:, 1]
+                   + s["uv2"][tri_c, 1] * bary[:, 2])
+            h, w = s["tex_h"][mat], s["tex_w"][mat]
+            rr_ = np.clip((row - np.floor(row)) * h, 0, h - 1).astype(int)
+            cc_ = np.clip((col - np.floor(col)) * w, 0, w - 1).astype(int)
+            texel = s["atlas"][s["tex_offset"][mat] + rr_ * w + cc_]
+            kd = np.where(s["has_texture"][mat][:, None], texel, kd)
 
         # --- NEE (shade :165-232) ---
         l_dir = np.zeros((r_count, 3))

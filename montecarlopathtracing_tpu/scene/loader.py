@@ -313,7 +313,9 @@ def build_scene(
         tex_h[i], tex_w[i] = img.shape[0], img.shape[1]
         blocks.append(img.reshape(-1, 3))
         offset += img.shape[0] * img.shape[1]
-    atlas = np.concatenate(blocks, axis=0) if blocks else np.zeros((1, 3), np.float32)
+    # Untextured scenes get a (0, 3) atlas: the EMPTY shape is the static
+    # no-texture signal (a legitimate 1x1 texture would make shape (1, 3)).
+    atlas = np.concatenate(blocks, axis=0) if blocks else np.zeros((0, 3), np.float32)
 
     # Lights: radiance table + per-light face lists with cumulative-area CDFs
     # (the reference rebuilds this CDF every shade call, MTPC/pathTracing.cpp:177-184;

@@ -72,7 +72,9 @@ class SceneArrays:
     tex_h: Any  # (M,) i32
     tex_w: Any  # (M,) i32
 
-    # Texture atlas, flattened row-major per material: (sum(h*w) or 1, 3) f32 RGB.
+    # Texture atlas, flattened row-major per material: (sum(h*w), 3) f32 RGB.
+    # Untextured scenes carry shape (0, 3) — the empty shape is the static
+    # no-texture signal for the integrator and oracle.
     atlas: Any
 
     # Lights (.camera `mtlname` lines + per-material face lists,
