@@ -251,7 +251,11 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
         base = rng.N_BASE_SLOTS + 4 * li
         u_pick, u1, u2, u3 = u[:, base], u[:, base + 1], u[:, base + 2], u[:, base + 3]
         j = pick_light_face(scene.light_face_cum_area[li], scene.light_total_area[li], u_pick)
-        tri = scene.light_face_tri[li][j]
+        # f32-bitcast gather (int (R,) gathers lower to a slow scalar-layout path)
+        tri = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(
+                scene.light_face_tri[li].astype(jnp.int32), jnp.float32)[j],
+            jnp.int32)
         lrow = tab[tri]  # one row gather for the light triangle's fields
         xl, vnl = sample_triangle_point(
             lrow[:, 0:3], lrow[:, 3:6], lrow[:, 6:9],
@@ -629,7 +633,10 @@ def render_pixels_refill(
         wrap = slot_new >= n_pix
         slot_new = jnp.where(wrap, slot_new - n_pix, slot_new)
         samp_new = q // n_pix + wrap.astype(jnp.int32) + sample_offset
-        pix_new = pixel_ids[slot_new]
+        pix_new = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(
+                pixel_ids.astype(jnp.int32), jnp.float32)[slot_new],
+            jnp.int32)
         keys_new = rng.lane_keys(opts.seed, pix_new, samp_new)
         o_new, d_new = primary_for(pix_new, keys_new)
 
