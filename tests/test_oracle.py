@@ -56,3 +56,23 @@ def test_specular_scene_matches_oracle(box_scene_dir):
     got, want, rel = _compare(scene, bvh, opts)
     assert np.median(rel) < 1e-4, np.median(rel)
     assert (rel.max(axis=1) < 1e-2).mean() > 0.97
+
+
+def test_glass_scene_matches_oracle():
+    """Refraction path (nextRay's Ni>1 branch: Schlick Fresnel choice,
+    unnormalized refracted/TIR directions, no transmission epsilon —
+    MTPC/pathTracing.cpp:77-113) against the f64 oracle."""
+    from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+    from montecarlopathtracing_tpu.scene.builtin import load_builtin_box
+
+    scene, _ = load_builtin_box(width=32, height=32, with_glass=True,
+                                with_specular=True)
+    bvh = build_lbvh(scene)
+    opts = RenderOptions(spp=4, max_depth=5, chunk_size=256, refill=False)
+    ids = np.arange(256, dtype=np.int32) + 512 * 1  # a strip crossing the panel
+    got, _ = render_pixels(scene, bvh, opts, jnp.asarray(ids))
+    want = oracle_render_pixels(scene, opts, ids)
+    got = np.asarray(got, np.float64)
+    rel = np.abs(got - want) / (np.abs(want) + 1e-4)
+    assert np.median(rel) < 1e-4
+    assert (rel.max(axis=1) < 1e-2).mean() > 0.95
