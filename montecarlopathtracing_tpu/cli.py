@@ -99,8 +99,12 @@ def main(argv=None) -> int:
         print(path)
         return 0
 
-    _, path = render_scene(args.scene_dir, args.name, spp=args.spp,
-                           options=opts, out_dir=args.out_dir, gamma=args.gamma)
+    try:
+        _, path = render_scene(args.scene_dir, args.name, spp=args.spp,
+                               options=opts, out_dir=args.out_dir, gamma=args.gamma)
+    except FileNotFoundError as exc:
+        print(f"error: scene asset not found: {exc.filename}", file=sys.stderr)
+        return 2
     print(path)
     return 0
 
