@@ -105,6 +105,23 @@ def swizzle_tile(opts: RenderOptions) -> int:
             else opts.packet_size)
 
 
+def _cluster_plan(opts: RenderOptions, num_tris: int):
+    """(width, group) fitting the VMEM-resident constant table.
+
+    tconst is (T/width, 16, width) with the 32-lane layout padded 4x, so the
+    VMEM footprint is ~256*T bytes at width 32 but ~64*T at width 128.  Pick
+    the finest culling granularity that keeps the table comfortably under
+    the ~16 MB VMEM budget; beyond that the cluster kernel cannot hold the
+    scene resident and the caller must fall back to the XLA packet walk.
+    """
+    if num_tris * 256 <= 10 << 20:
+        return opts.cluster_width, opts.cluster_group
+    if num_tris * 64 <= 10 << 20:
+        # coarser clusters, same 128-lane test panel
+        return 128, max(1, (opts.cluster_width * opts.cluster_group) // 128)
+    return None  # does not fit resident: use the packet walk
+
+
 def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
     """Nearest-hit dispatch (the reference's ray_intersect, MTPC/pathTracing.cpp:382)."""
     compat_tri = opts.compat.plane_sign_triangle_test
@@ -112,14 +129,17 @@ def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
     if kind == "brute":
         return brute_force_intersect(scene, origin, direction, compat=compat_tri)
     if kind in ("cluster", "cluster_interpret"):
-        from ..kernels.cluster import build_cluster_accel, cluster_intersect
+        plan = _cluster_plan(opts, scene.num_tris_padded)
+        if plan is not None:
+            from ..kernels.cluster import build_cluster_accel, cluster_intersect
 
-        accel = build_cluster_accel(scene, width=opts.cluster_width)
-        return cluster_intersect(
-            accel, origin, direction, tile=opts.cluster_rays,
-            group=opts.cluster_group,
-            interpret=True if kind == "cluster_interpret" else None,
-        )
+            width, group = plan
+            accel = build_cluster_accel(scene, width=width)
+            return cluster_intersect(
+                accel, origin, direction, tile=opts.cluster_rays, group=group,
+                interpret=True if kind == "cluster_interpret" else None,
+            )
+        kind = "bvh"  # scene too large for a VMEM-resident table
     if kind == "bvh_perray":
         return bvh_intersect(bvh, scene, origin, direction, compat=compat_tri)
     return packet_intersect(bvh, scene, origin, direction, compat=compat_tri,

@@ -1,0 +1,78 @@
+"""Scene-size scaling: the cluster kernel's constant table must fit VMEM
+(kernels/cluster.py); larger scenes pick coarser clusters or fall back to the
+XLA packet walk (integrator/wavefront.py::_cluster_plan)."""
+
+import numpy as np
+import pytest
+
+from montecarlopathtracing_tpu.config import RenderOptions
+from montecarlopathtracing_tpu.integrator.wavefront import _cluster_plan
+
+
+def test_cluster_plan_thresholds():
+    opts = RenderOptions()  # width 32, group 4
+    assert _cluster_plan(opts, 16384) == (32, 4)
+    assert _cluster_plan(opts, 32768) == (32, 4)
+    w, g = _cluster_plan(opts, 1 << 17)  # 131072 tris: coarse plan
+    assert w == 128 and w * g == opts.cluster_width * opts.cluster_group
+    assert _cluster_plan(opts, 1 << 20) is None  # too big: packet fallback
+
+
+def test_medium_scene_intersect():
+    """~51k triangles (past the fine-width budget): the coarse plan must agree
+    with brute force."""
+    import jax.numpy as jnp
+
+    from montecarlopathtracing_tpu.accel.lbvh import brute_force_intersect
+    from montecarlopathtracing_tpu.kernels.cluster import (
+        build_cluster_accel, cluster_intersect,
+    )
+    from montecarlopathtracing_tpu.scene.builtin import write_box_scene
+    from montecarlopathtracing_tpu.api import load_scene
+    import tempfile
+
+    # Tessellate extra geometry into the box OBJ: a 160x100 grid of quads on
+    # a slab inside the box -> 32k extra faces + walls.
+    nx, nz = 180, 120
+    xs = np.linspace(0.2, 1.8, nx + 1)
+    zs = np.linspace(0.2, 1.8, nz + 1)
+    verts, faces = [], []
+    for i in range(nx + 1):
+        for k in range(nz + 1):
+            verts.append((xs[i], 0.5 + 0.05 * np.sin(3 * xs[i]) * np.cos(3 * zs[k]), zs[k]))
+    def vid(i, k):
+        return i * (nz + 1) + k + 1
+    for i in range(nx):
+        for k in range(nz):
+            faces.append((vid(i, k), vid(i + 1, k), vid(i + 1, k + 1)))
+            faces.append((vid(i, k), vid(i + 1, k + 1), vid(i, k + 1)))
+
+    with tempfile.TemporaryDirectory() as d:
+        write_box_scene(d, "box")
+        with open(f"{d}/box.obj") as g:
+            off = sum(1 for line in g if line.startswith("v "))
+        with open(f"{d}/box.obj", "a") as f:
+            for v in verts:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+            f.write("usemtl White\n")
+            for a, b, c in faces:
+                f.write(f"f {a + off} {b + off} {c + off}\n")
+        scene, meta = load_scene(d, "box", use_native=False)
+
+    assert meta.num_faces > 43000
+    plan = _cluster_plan(RenderOptions(), scene.num_tris_padded)
+    assert plan is not None and plan[0] == 128
+
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform([0.3, 0.6, 0.3], [1.7, 1.9, 1.7], (32, 3)).astype(np.float32))
+    dd = rng.normal(size=(32, 3)).astype(np.float32)
+    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+    dd = jnp.asarray(dd)
+    hb, tb, ib = brute_force_intersect(scene, o, dd)
+    accel = build_cluster_accel(scene, width=plan[0])
+    hc, tc, ic = cluster_intersect(accel, o, dd, tile=16, mega=2,
+                                   group=plan[1], interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(hc))
+    ok = np.asarray(hb)
+    np.testing.assert_allclose(np.asarray(tb)[ok], np.asarray(tc)[ok],
+                               rtol=1e-4, atol=1e-5)
