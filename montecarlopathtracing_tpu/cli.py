@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--mesh-tile", type=int, default=0,
                    help="shard the render over a (tile, spp) device mesh")
     r.add_argument("--mesh-spp", type=int, default=1)
+    r.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace of the render "
+                        "(inspect with tensorboard or the trace.json.gz)")
 
     sub.add_parser("bench", help="run the benchmark (prints one JSON line)")
 
@@ -99,9 +102,18 @@ def main(argv=None) -> int:
         print(path)
         return 0
 
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
     try:
-        _, path = render_scene(args.scene_dir, args.name, spp=args.spp,
-                               options=opts, out_dir=args.out_dir, gamma=args.gamma)
+        with profile_ctx:
+            _, path = render_scene(args.scene_dir, args.name, spp=args.spp,
+                                   options=opts, out_dir=args.out_dir,
+                                   gamma=args.gamma)
     except FileNotFoundError as exc:
         print(f"error: scene asset not found: {exc.filename}", file=sys.stderr)
         return 2
