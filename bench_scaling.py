@@ -56,13 +56,19 @@ def main() -> None:
     n_dev = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= n_dev]
     results = []
+    import dataclasses
     for n in sizes:
         mesh = make_mesh(tile=n, spp=1, devices=jax.devices()[:n])
         opts = RenderOptions(spp=spp, chunk_size=16384)
-        img = render_image_sharded_jit(scene, bvh, opts, mesh)  # compile
+        img = render_image_sharded_jit(scene, bvh, opts, mesh)  # compile + warm
         jax.block_until_ready(img)
+        # Perturb the input per timed run: the tunneled TPU memoizes
+        # bitwise-identical (executable, input) dispatches, so a repeat of the
+        # warm-up call would time nothing.
+        scene2 = dataclasses.replace(scene, kd=scene.kd * (1.0 + 1e-7))
+        jax.block_until_ready(scene2.kd)
         t0 = time.perf_counter()
-        img = render_image_sharded_jit(scene, bvh, opts, mesh)
+        img = render_image_sharded_jit(scene2, bvh, opts, mesh)
         jax.block_until_ready(img)
         dt = time.perf_counter() - t0
         results.append({"devices": n, "seconds": round(dt, 4)})

@@ -105,18 +105,25 @@ def swizzle_tile(opts: RenderOptions) -> int:
             else opts.packet_size)
 
 
+_VMEM_TABLE_BUDGET = 10 << 20  # leave headroom under the ~16 MB VMEM
+
+
+def _tconst_bytes_per_tri(width: int) -> int:
+    """tconst is (T/width, 16, width) f32 with the lane dim padded to 128."""
+    return 16 * max(width, 128) * 4 // width
+
+
 def _cluster_plan(opts: RenderOptions, num_tris: int):
     """(width, group) fitting the VMEM-resident constant table.
 
-    tconst is (T/width, 16, width) with the 32-lane layout padded 4x, so the
-    VMEM footprint is ~256*T bytes at width 32 but ~64*T at width 128.  Pick
-    the finest culling granularity that keeps the table comfortably under
-    the ~16 MB VMEM budget; beyond that the cluster kernel cannot hold the
-    scene resident and the caller must fall back to the XLA packet walk.
+    Pick the finest culling granularity that keeps the table comfortably
+    under the VMEM budget (width 32 costs 256 B/tri from lane padding; width
+    128 is pad-free at 64 B/tri); beyond that the cluster kernel cannot hold
+    the scene resident and the caller falls back to the XLA packet walk.
     """
-    if num_tris * 256 <= 10 << 20:
+    if num_tris * _tconst_bytes_per_tri(opts.cluster_width) <= _VMEM_TABLE_BUDGET:
         return opts.cluster_width, opts.cluster_group
-    if num_tris * 64 <= 10 << 20:
+    if num_tris * _tconst_bytes_per_tri(128) <= _VMEM_TABLE_BUDGET:
         # coarser clusters, same 128-lane test panel
         return 128, max(1, (opts.cluster_width * opts.cluster_group) // 128)
     return None  # does not fit resident: use the packet walk
@@ -145,6 +152,42 @@ def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
     return packet_intersect(bvh, scene, origin, direction, compat=compat_tri,
                             packet_size=opts.packet_size,
                             leaf_width=opts.leaf_width)
+
+
+def _gather_i32(table, idx):
+    """(R,) int32 gather via f32 bitcast: int-typed 1D gathers lower to a
+    pathologically slow scalar-layout path on TPU."""
+    as_f = jax.lax.bitcast_convert_type(table.astype(jnp.int32), jnp.float32)
+    return jax.lax.bitcast_convert_type(as_f[idx], jnp.int32)
+
+
+def _permute_rows(perm, f32_fields, int_fields):
+    """Permute per-lane state with ONE row gather (separate (R,) int/bool
+    takes are the same slow scalar-gather pattern as above).  f32_fields:
+    (R,k) arrays; int_fields: (R,) int32/uint32/bool arrays, returned with
+    their input dtypes."""
+    kinds = [f.dtype for f in int_fields]
+    ints = jnp.stack(
+        [jax.lax.bitcast_convert_type(f.astype(jnp.int32), jnp.float32)
+         if f.dtype != jnp.bool_ else f.astype(jnp.float32)
+         for f in int_fields], axis=1)
+    widths = [f.shape[1] for f in f32_fields]
+    payload = jnp.take(jnp.concatenate(list(f32_fields) + [ints], axis=1),
+                       perm, axis=0)
+    out_f, pos = [], 0
+    for w in widths:
+        out_f.append(payload[:, pos:pos + w])
+        pos += w
+    out_i = []
+    for i, dt in enumerate(kinds):
+        col = payload[:, pos + i]
+        if dt == jnp.bool_:
+            out_i.append(col != 0)
+        else:
+            out_i.append(jax.lax.bitcast_convert_type(col, jnp.int32).astype(dt)
+                         if dt != jnp.int32
+                         else jax.lax.bitcast_convert_type(col, jnp.int32))
+    return out_f, out_i
 
 
 # Packed material-row columns (see _shading_tables).
@@ -271,11 +314,7 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
         base = rng.N_BASE_SLOTS + 4 * li
         u_pick, u1, u2, u3 = u[:, base], u[:, base + 1], u[:, base + 2], u[:, base + 3]
         j = pick_light_face(scene.light_face_cum_area[li], scene.light_total_area[li], u_pick)
-        # f32-bitcast gather (int (R,) gathers lower to a slow scalar-layout path)
-        tri = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(
-                scene.light_face_tri[li].astype(jnp.int32), jnp.float32)[j],
-            jnp.int32)
+        tri = _gather_i32(scene.light_face_tri[li], j)
         lrow = tab[tri]  # one row gather for the light triangle's fields
         xl, vnl = sample_triangle_point(
             lrow[:, 0:3], lrow[:, 3:6], lrow[:, 6:9],
@@ -296,12 +335,7 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
         so = jnp.where(lit[:, None], p + dirn * opts.ray_epsilon, 1e9)
         hit_s, t_s, tri_s = intersect_any(scene, bvh, so, dirn, opts)
         if compat.material_equality_visibility:
-            # f32-bitcast 1D gather: int-typed gathers lower to a pathological
-            # scalar-layout path on TPU.
-            matid_f = jax.lax.bitcast_convert_type(
-                scene.mat_id.astype(jnp.int32), jnp.float32)
-            m_s = jax.lax.bitcast_convert_type(
-                matid_f[jnp.maximum(tri_s, 0)], jnp.int32)
+            m_s = _gather_i32(scene.mat_id, jnp.maximum(tri_s, 0))
             vis = hit_s & (m_s == scene.light_mat[li])
         else:
             vis = (~hit_s) | (t_s + opts.ray_epsilon >= dist_real - 1e-3)
@@ -440,27 +474,12 @@ def trace_paths(
             )
             sort_key = jnp.where(alive, cluster * 8 + octant, jnp.int32(2**30))
             perm = jnp.argsort(sort_key)
-            # ONE row gather for the whole permutable state ((R,) int/bool
-            # takes lower to pathologically slow scalar-layout gathers on
-            # TPU); ints/bools ride along as bitcast f32 columns.
-            ints = jnp.stack(
-                [ray_type, jax.lax.bitcast_convert_type(keys, jnp.int32),
-                 slot, alive.astype(jnp.int32), cont.astype(jnp.int32)],
-                axis=1)
-            payload = jnp.concatenate(
-                [p, pn, kd, new_o, new_d, weight, beta, radiance, u,
-                 jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
-            payload = jnp.take(payload, perm, axis=0)
-            p, pn, kd = payload[:, 0:3], payload[:, 3:6], payload[:, 6:9]
-            new_o, new_d = payload[:, 9:12], payload[:, 12:15]
-            weight, beta = payload[:, 15:18], payload[:, 18:21]
-            radiance = payload[:, 21:24]
-            u = payload[:, 24:24 + n_slots]
-            ints = jax.lax.bitcast_convert_type(
-                payload[:, 24 + n_slots:29 + n_slots], jnp.int32)
-            ray_type, slot = ints[:, 0], ints[:, 2]
-            keys = jax.lax.bitcast_convert_type(ints[:, 1], jnp.uint32)
-            alive, cont = ints[:, 3] != 0, ints[:, 4] != 0
+            (p, pn, kd, new_o, new_d, weight, beta, radiance, u), \
+                (ray_type, keys, slot, alive, cont) = _permute_rows(
+                    perm,
+                    (p, pn, kd, new_o, new_d, weight, beta, radiance, u),
+                    (ray_type, keys, slot, alive, cont),
+                )
 
         radiance = radiance + jnp.where(
             alive[:, None],
@@ -653,10 +672,7 @@ def render_pixels_refill(
         wrap = slot_new >= n_pix
         slot_new = jnp.where(wrap, slot_new - n_pix, slot_new)
         samp_new = q // n_pix + wrap.astype(jnp.int32) + sample_offset
-        pix_new = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(
-                pixel_ids.astype(jnp.int32), jnp.float32)[slot_new],
-            jnp.int32)
+        pix_new = _gather_i32(pixel_ids, slot_new)
         keys_new = rng.lane_keys(opts.seed, pix_new, samp_new)
         o_new, d_new = primary_for(pix_new, keys_new)
 
@@ -687,23 +703,12 @@ def render_pixels_refill(
             bucket = jnp.where(kind == KIND_PRIMARY, jnp.int32(1 << 20), cluster)
             sort_key = jnp.where(active, bucket * 8 + octant, jnp.int32(2**30))
             perm = jnp.argsort(sort_key)
-            # ONE row gather for the whole permutable state: separate takes
-            # of (r,) int fields lower to pathologically slow scalar-layout
-            # gathers on TPU (profiled at ~2.6 ms each); ints ride along as
-            # bitcast f32 columns instead.
-            ints = jnp.stack(
-                [item_id, jax.lax.bitcast_convert_type(keys, jnp.int32),
-                 depth, kind, active.astype(jnp.int32)], axis=1)
-            payload = jnp.concatenate(
-                [origin, direction, beta, rad,
-                 jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=1)
-            payload = jnp.take(payload, perm, axis=0)
-            origin, direction = payload[:, 0:3], payload[:, 3:6]
-            beta, rad = payload[:, 6:9], payload[:, 9:12]
-            ints = jax.lax.bitcast_convert_type(payload[:, 12:17], jnp.int32)
-            item_id, depth, kind = ints[:, 0], ints[:, 2], ints[:, 3]
-            keys = jax.lax.bitcast_convert_type(ints[:, 1], jnp.uint32)
-            active = ints[:, 4] != 0
+            (origin, direction, beta, rad), \
+                (item_id, keys, depth, kind, active) = _permute_rows(
+                    perm,
+                    (origin, direction, beta, rad),
+                    (item_id, keys, depth, kind, active),
+                )
 
         return ((q, n_rays, active, item_id, keys, depth, kind)
                 + pack_f(origin, direction, beta, rad),

@@ -93,12 +93,18 @@ def render_image_sharded(
     return out.reshape(n_tiles * per, 3)[:n].reshape(h, w, 3)
 
 
-def render_image_sharded_jit(scene, bvh, opts: RenderOptions, mesh: Mesh,
-                             differentiable: bool = False):
-    fn = jax.jit(
+@functools.lru_cache(maxsize=32)
+def _sharded_render_fn(opts: RenderOptions, mesh: Mesh, differentiable: bool):
+    return jax.jit(
         lambda s, b: render_image_sharded(s, b, opts, mesh, differentiable)
     )
-    return fn(scene, bvh)
+
+
+def render_image_sharded_jit(scene, bvh, opts: RenderOptions, mesh: Mesh,
+                             differentiable: bool = False):
+    """Jitted distributed render; the executable is cached per (opts, mesh)
+    so repeat calls don't retrace."""
+    return _sharded_render_fn(opts, mesh, differentiable)(scene, bvh)
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,

@@ -31,8 +31,8 @@ def test_medium_scene_intersect():
     from montecarlopathtracing_tpu.api import load_scene
     import tempfile
 
-    # Tessellate extra geometry into the box OBJ: a 160x100 grid of quads on
-    # a slab inside the box -> 32k extra faces + walls.
+    # Tessellate extra geometry into the box OBJ: a 180x120 grid of quads on
+    # a slab inside the box -> 43.2k extra faces + walls (past the fine-width budget).
     nx, nz = 180, 120
     xs = np.linspace(0.2, 1.8, nx + 1)
     zs = np.linspace(0.2, 1.8, nz + 1)
