@@ -176,7 +176,14 @@ def packet_intersect(bvh: BVHArrays, scene, origin, direction,
     lc = bvh.num_leaves
     leaf_width = min(leaf_width, lc)
     packet_size = min(packet_size, r)
-    assert r % packet_size == 0, (r, packet_size)
+    pad = (-r) % packet_size
+    if pad:
+        # Parked rays far outside every scene keep edge packets legal.
+        origin = jnp.concatenate(
+            [origin, jnp.full((pad, 3), 1e9, origin.dtype)])
+        direction = jnp.concatenate(
+            [direction,
+             jnp.tile(jnp.array([[1.0, 0.0, 0.0]], direction.dtype), (pad, 1))])
     fat_start = lc // leaf_width  # heap key of the first fat leaf
     if max_steps is None:
         max_steps = 8 * fat_start + 64
@@ -243,8 +250,8 @@ def packet_intersect(bvh: BVHArrays, scene, origin, direction,
         one_packet,
         (origin.reshape(-1, packet_size, 3), direction.reshape(-1, packet_size, 3)),
     )
-    best_t = best_t.reshape(r)
-    best_tri = best_tri.reshape(r)
+    best_t = best_t.reshape(-1)[:r]
+    best_tri = best_tri.reshape(-1)[:r]
     hit = best_tri >= 0
     return hit, jnp.where(hit, best_t, BIG), best_tri
 

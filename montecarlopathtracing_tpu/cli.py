@@ -67,11 +67,34 @@ def main(argv=None) -> int:
     from .api import load_scene, render_progressive, render_scene
     from .film.film import output_name, tonemap, write_png
 
+    import contextlib
+
     opts = RenderOptions(
         spp=args.spp, seed=args.seed, max_depth=args.max_depth,
         chunk_size=args.chunk_size, intersector=args.intersector,
         **({"compat": MODERN} if args.modern else {}),
     )
+
+    # Profiling and the missing-asset guard apply to ALL render entry points
+    # (single-device, --mesh-tile, --spp-chunk). Assets are pre-checked so a
+    # FileNotFoundError later (e.g. the output directory vanishing mid-run)
+    # surfaces as itself, not as a missing-scene message.
+    import os
+
+    base = os.path.join(args.scene_dir, args.name)
+    for ext in (".obj", ".mtl", ".camera"):
+        if not os.path.exists(base + ext):
+            print(f"error: scene asset not found: {base + ext}", file=sys.stderr)
+            return 2
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+
+    def load_checked(options):
+        return load_scene(args.scene_dir, args.name, options)
 
     if args.mesh_tile:
         import jax
@@ -79,10 +102,12 @@ def main(argv=None) -> int:
         from .accel.lbvh import build_lbvh
         from .parallel.mesh import make_mesh, render_image_sharded_jit
 
-        scene, meta = load_scene(args.scene_dir, args.name, opts)
-        bvh = jax.jit(build_lbvh)(scene)
-        mesh = make_mesh(tile=args.mesh_tile, spp=args.mesh_spp)
-        img = render_image_sharded_jit(scene, bvh, opts, mesh)
+        scene, meta = load_checked(opts)
+        with profile_ctx:
+            bvh = jax.jit(build_lbvh)(scene)
+            mesh = make_mesh(tile=args.mesh_tile, spp=args.mesh_spp)
+            img = render_image_sharded_jit(scene, bvh, opts, mesh)
+            jax.block_until_ready(img)
         path = output_name(args.out_dir, args.name, args.spp)
         write_png(path, tonemap(img, gamma=args.gamma))
         print(path)
@@ -94,29 +119,20 @@ def main(argv=None) -> int:
         from .accel.lbvh import build_lbvh
 
         opts = opts.replace(spp_chunk=args.spp_chunk)
-        scene, meta = load_scene(args.scene_dir, args.name, opts)
-        bvh = jax.jit(build_lbvh)(scene)
-        film = render_progressive(scene, opts, bvh, checkpoint_path=args.checkpoint)
+        scene, meta = load_checked(opts)
+        with profile_ctx:
+            bvh = jax.jit(build_lbvh)(scene)
+            film = render_progressive(scene, opts, bvh,
+                                      checkpoint_path=args.checkpoint)
         path = output_name(args.out_dir, args.name, args.spp)
         write_png(path, tonemap(film.mean, gamma=args.gamma))
         print(path)
         return 0
 
-    import contextlib
-
-    profile_ctx = contextlib.nullcontext()
-    if args.profile:
-        import jax
-
-        profile_ctx = jax.profiler.trace(args.profile)
-    try:
-        with profile_ctx:
-            _, path = render_scene(args.scene_dir, args.name, spp=args.spp,
-                                   options=opts, out_dir=args.out_dir,
-                                   gamma=args.gamma)
-    except FileNotFoundError as exc:
-        print(f"error: scene asset not found: {exc.filename}", file=sys.stderr)
-        return 2
+    with profile_ctx:
+        _, path = render_scene(args.scene_dir, args.name, spp=args.spp,
+                               options=opts, out_dir=args.out_dir,
+                               gamma=args.gamma)
     print(path)
     return 0
 
