@@ -13,7 +13,6 @@ import time
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .accel.lbvh import BVHArrays, build_lbvh

@@ -30,7 +30,6 @@ Primary-ray jitter (modern mode only) uses slots from ``primary_uniforms``.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 N_BASE_SLOTS = 5

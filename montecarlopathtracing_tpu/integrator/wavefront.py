@@ -34,8 +34,6 @@ with per-bounce rematerialization.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
