@@ -59,8 +59,12 @@ def render_progressive(scene: SceneArrays, options: RenderOptions,
                        checkpoint_path: Optional[str] = None):
     """Render options.spp samples in chunks of options.spp_chunk, folding each
     chunk into a Film. Resumable: pass the previous Film (or checkpoint_path to
-    auto-load/save). Chunk k uses seed fold-in sample indices [k*c, (k+1)*c) via
-    a distinct seed offset, so resuming never repeats samples."""
+    auto-load/save). Chunk k renders absolute sample indices [k*c, (k+1)*c) of
+    the SAME per-pixel RNG streams a single full-SPP render consumes
+    (``sample_offset`` continuation, identical to render_image_host_chunked) —
+    so a progressive SPP-N render equals a one-shot SPP-N render modulo fp
+    accumulation order, and resuming with a different spp_chunk changes
+    nothing."""
     if bvh is None:
         bvh = jax.jit(build_lbvh)(scene)
     if film is None:
@@ -72,9 +76,8 @@ def render_progressive(scene: SceneArrays, options: RenderOptions,
     done = int(np.asarray(film.n_samples))
     while done < options.spp:
         n = min(options.spp_chunk, options.spp - done)
-        # distinct RNG stream per chunk: sample index offset via seed fold
-        chunk_opts = options.replace(spp=n, seed=options.seed + done * 1000003)
-        img = render_image(scene, bvh, chunk_opts)
+        chunk_opts = options.replace(spp=n)
+        img = render_image(scene, bvh, chunk_opts, sample_offset=done)
         film = film.add(img, float(n))
         done += n
         if checkpoint_path:

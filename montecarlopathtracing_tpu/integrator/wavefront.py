@@ -96,11 +96,37 @@ def resolve_intersector(opts: RenderOptions) -> str:
     return "cluster" if jax.default_backend() == "tpu" else "bvh"
 
 
-def swizzle_tile(opts: RenderOptions) -> int:
-    """Pixel-tile granularity for ray coherence, matched to the intersector's
-    ray grouping (cluster kernel tiles vs packet-walk packets)."""
-    return (opts.cluster_rays if resolve_intersector(opts) == "cluster"
-            else opts.packet_size)
+def resolve_plan(opts: RenderOptions, num_tris: int):
+    """The intersector that will actually run for this (options, scene) pair:
+    ('cluster'|'cluster_interpret', width, group) or (kind, None, None).
+
+    A cluster request (explicit or via 'auto') falls back to the XLA packet
+    walk when the scene exceeds the VMEM-resident table budget; an EXPLICIT
+    request warns about the substitution (silent fallback hid both the kernel
+    change and the now-pointless wavefront sorting)."""
+    kind = resolve_intersector(opts)
+    if kind in ("cluster", "cluster_interpret"):
+        plan = _cluster_plan(opts, num_tris)
+        if plan is not None:
+            return kind, plan[0], plan[1]
+        if opts.intersector != "auto":
+            import warnings
+
+            warnings.warn(
+                f"intersector={opts.intersector!r} requested but the scene's "
+                f"{num_tris} (padded) triangles exceed the VMEM-resident "
+                "cluster-table budget; falling back to the XLA packet walk",
+                stacklevel=2,
+            )
+        kind = "bvh"
+    return kind, None, None
+
+
+def swizzle_tile(opts: RenderOptions, num_tris: int) -> int:
+    """Pixel-tile granularity for ray coherence, matched to the intersector
+    that will actually run (cluster kernel tiles vs packet-walk packets)."""
+    kind = resolve_plan(opts, num_tris)[0]
+    return opts.cluster_rays if kind.startswith("cluster") else opts.packet_size
 
 
 _VMEM_TABLE_BUDGET = 10 << 20  # leave headroom under the ~16 MB VMEM
@@ -130,21 +156,20 @@ def _cluster_plan(opts: RenderOptions, num_tris: int):
 def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
     """Nearest-hit dispatch (the reference's ray_intersect, MTPC/pathTracing.cpp:382)."""
     compat_tri = opts.compat.plane_sign_triangle_test
-    kind = resolve_intersector(opts)
+    kind, width, group = resolve_plan(opts, scene.num_tris_padded)
     if kind == "brute":
         return brute_force_intersect(scene, origin, direction, compat=compat_tri)
     if kind in ("cluster", "cluster_interpret"):
-        plan = _cluster_plan(opts, scene.num_tris_padded)
-        if plan is not None:
-            from ..kernels.cluster import build_cluster_accel, cluster_intersect
+        from ..kernels.cluster import build_cluster_accel, cluster_intersect
 
-            width, group = plan
-            accel = build_cluster_accel(scene, width=width)
-            return cluster_intersect(
-                accel, origin, direction, tile=opts.cluster_rays, group=group,
-                interpret=True if kind == "cluster_interpret" else None,
-            )
-        kind = "bvh"  # scene too large for a VMEM-resident table
+        # modern mode (plane_sign=False) selects the kernel's Moller-Trumbore
+        # variant, matching the packet/brute paths' ray_triangle_mt semantics.
+        accel = build_cluster_accel(scene, width=width, mt=not compat_tri)
+        return cluster_intersect(
+            accel, origin, direction, tile=opts.cluster_rays, group=group,
+            interpret=True if kind == "cluster_interpret" else None,
+            mt=not compat_tri,
+        )
     if kind == "bvh_perray":
         return bvh_intersect(bvh, scene, origin, direction, compat=compat_tri)
     return packet_intersect(bvh, scene, origin, direction, compat=compat_tri,
@@ -410,10 +435,10 @@ def _next_ray(scene, opts: RenderOptions, p, pn, matf, kd, incoming, u):
     return origin, direction, ray_type, weight
 
 
-def _should_sort(opts: RenderOptions) -> bool:
+def _should_sort(opts: RenderOptions, num_tris: int) -> bool:
     if opts.sort_rays is not None:
         return opts.sort_rays
-    return resolve_intersector(opts) == "cluster"
+    return resolve_plan(opts, num_tris)[0] == "cluster"
 
 
 def trace_paths(
@@ -451,7 +476,8 @@ def trace_paths(
     beta = jnp.ones_like(radiance)
     n_slots = rng.n_bounce_slots(scene.num_lights)
     n_rays = jnp.float32(origin.shape[0])
-    do_sort = _should_sort(opts) and origin.shape[0] > opts.cluster_rays
+    do_sort = (_should_sort(opts, scene.num_tris_padded)
+               and origin.shape[0] > opts.cluster_rays)
     slot = jnp.arange(origin.shape[0], dtype=jnp.int32)
 
     def bounce(state, depth):
@@ -578,7 +604,7 @@ def render_pixels_refill(
     spp = opts.spp
     n_items = n_pix * spp
     n_slots = rng.n_bounce_slots(scene.num_lights)
-    do_sort = _should_sort(opts) and r > opts.cluster_rays
+    do_sort = _should_sort(opts, scene.num_tris_padded) and r > opts.cluster_rays
     compat = opts.compat
     num_lights = scene.num_lights
 
@@ -819,6 +845,7 @@ def render_image_stats(
     bvh: BVHArrays,
     opts: RenderOptions,
     differentiable: bool = False,
+    sample_offset=0,
 ):
     """Full-frame render -> ((H, W, 3) float32 radiance, rays traced ()).
 
@@ -826,15 +853,20 @@ def render_image_stats(
     opts.chunk_size lane pool (render_pixels_refill) — one device program, one
     occupancy tail.  The differentiable / scan path processes pixels in
     chunks of opts.chunk_size lanes via lax.map to bound live wavefront state.
+
+    ``sample_offset`` slides the absolute sample-index window so progressive /
+    resumed renders continue the exact same per-pixel RNG streams a single
+    full-SPP render would consume (SURVEY.md §5.4).
     """
     h, w = scene.camera.height, scene.camera.width
     n = h * w
     chunk = min(opts.chunk_size, max(1024, n))
-    ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts))  # (n_pad,)
+    ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts, scene.num_tris_padded))  # (n_pad,)
 
     if opts.refill:
         ids = jnp.asarray(ids_np)
-        out, rays = render_pixels_refill(scene, bvh, opts, ids, lanes=chunk,
+        out, rays = render_pixels_refill(scene, bvh, opts, ids, sample_offset,
+                                         lanes=chunk,
                                          differentiable=differentiable)
         flat = jnp.zeros((n, 3), out.dtype).at[ids].set(out)
         return flat.reshape(h, w, 3), rays
@@ -846,7 +878,8 @@ def render_image_stats(
     ids = jnp.asarray(ids_np).reshape(-1, chunk)
 
     def do_chunk(pix):
-        return render_pixels(scene, bvh, opts, pix, differentiable)
+        return render_pixels(scene, bvh, opts, pix, differentiable,
+                             sample_offset=sample_offset)
 
     out, rays = jax.lax.map(do_chunk, ids)  # (n_chunks, chunk, 3), (n_chunks,)
     flat = jnp.zeros((n, 3), out.dtype).at[ids.reshape(-1)].set(out.reshape(-1, 3))
@@ -858,9 +891,10 @@ def render_image(
     bvh: BVHArrays,
     opts: RenderOptions,
     differentiable: bool = False,
+    sample_offset=0,
 ):
     """Full-frame render -> (H, W, 3) float32 radiance (pre-tonemap)."""
-    return render_image_stats(scene, bvh, opts, differentiable)[0]
+    return render_image_stats(scene, bvh, opts, differentiable, sample_offset)[0]
 
 
 _render_chunk_jit = jax.jit(
@@ -895,7 +929,7 @@ def render_image_host_chunked(
     h, w = scene.camera.height, scene.camera.width
     n = h * w
     chunk = min(opts.chunk_size, max(1024, n))
-    ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts))
+    ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts, scene.num_tris_padded))
     spp_chunk = max(1, min(opts.spp_chunk, opts.spp))
 
     if opts.refill:

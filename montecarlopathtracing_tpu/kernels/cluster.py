@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = jnp.float32(1e30)
 
-# Row layout of the per-triangle constant table (16 rows per cluster block).
+# Row layout of the per-triangle constant table (16 rows per cluster block),
+# compat (plane + edge-sign) variant.
 _R_N = 0      # rows 0..2   geometric normal n
 _R_KN = 3     # row  3      n . v0
 _R_M1 = 4     # rows 4..6   m1 = n x (v1 - v0)
@@ -60,6 +61,23 @@ _R_M2 = 8     # rows 8..10  m2 = n x (v2 - v1)
 _R_K2 = 11    # row 11      v1 . m2
 _R_M3 = 12    # rows 12..14 m3 = n x (v0 - v2)
 _R_K3 = 15    # row 15      v2 . m3
+
+# Moller-Trumbore variant (modern mode, ops.intersect.ray_triangle_mt
+# semantics).  The MT quantities are bilinear in (origin, direction), so with
+# one per-ray precomputed w = o x d they reduce to the same dense
+# constants-panel FMA form as the compat test:
+#     det      = -d . n_raw                      (n_raw = e1 x e2, unnormalized)
+#     t * det  = o . n_raw - kn                  (kn = v0 . n_raw)
+#     u * det  =  w . e2 + d . k_u               (k_u = v0 x e2)
+#     v * det  = -w . e1 + d . k_v               (k_v = e1 x v0)
+# accept: u >= 0, v >= 0, u + v <= 1, decided by sign products with det so no
+# extra divisions are needed (t still takes the one division, like compat).
+_M_N = 0      # rows 0..2   n_raw = e1 x e2
+_M_KN = 3     # row  3      v0 . n_raw
+_M_E1 = 4     # rows 4..6   e1 = v1 - v0
+_M_E2 = 7     # rows 7..9   e2 = v2 - v0
+_M_KU = 10    # rows 10..12 k_u = v0 x e2
+_M_KV = 13    # rows 13..15 k_v = e1 x v0
 
 
 @jax.tree_util.register_dataclass
@@ -85,28 +103,52 @@ class ClusterAccel:
         return self.tconst.shape[2]
 
 
-def build_cluster_accel(scene, width: int = 128) -> ClusterAccel:
-    """Derive the constant tables from a (Morton-sorted) SceneArrays. Jittable."""
+def build_cluster_accel(scene, width: int = 128, mt: bool = False) -> ClusterAccel:
+    """Derive the constant tables from a (Morton-sorted) SceneArrays. Jittable.
+
+    ``mt=False`` builds the compat plane+sign constants (_R_* layout);
+    ``mt=True`` the Moller-Trumbore constants (_M_* layout) for modern mode
+    (compat.plane_sign_triangle_test=False).
+    """
     t = scene.num_tris_padded
     width = min(width, t)
     valid = scene.tri_valid[:, None]
     v0 = jnp.where(valid, scene.v0, 0.0)
     v1 = jnp.where(valid, scene.v1, 0.0)
     v2 = jnp.where(valid, scene.v2, 0.0)
-    n = jnp.where(valid, scene.geom_n, 0.0)
 
-    m1 = jnp.cross(n, v1 - v0)
-    m2 = jnp.cross(n, v2 - v1)
-    m3 = jnp.cross(n, v0 - v2)
-    rows = jnp.stack(
-        [
-            n[:, 0], n[:, 1], n[:, 2], jnp.sum(n * v0, axis=-1),
-            m1[:, 0], m1[:, 1], m1[:, 2], jnp.sum(v0 * m1, axis=-1),
-            m2[:, 0], m2[:, 1], m2[:, 2], jnp.sum(v1 * m2, axis=-1),
-            m3[:, 0], m3[:, 1], m3[:, 2], jnp.sum(v2 * m3, axis=-1),
-        ],
-        axis=0,
-    )  # (16, T)
+    if mt:
+        e1 = v1 - v0
+        e2 = v2 - v0
+        n = jnp.cross(e1, e2)
+        # Padding triangles (all-zero verts) give n = 0 => det = 0 => t = inf:
+        # never hit, like the compat table's zeroed rows.
+        ku = jnp.cross(v0, e2)
+        kv = jnp.cross(e1, v0)
+        rows = jnp.stack(
+            [
+                n[:, 0], n[:, 1], n[:, 2], jnp.sum(v0 * n, axis=-1),
+                e1[:, 0], e1[:, 1], e1[:, 2],
+                e2[:, 0], e2[:, 1], e2[:, 2],
+                ku[:, 0], ku[:, 1], ku[:, 2],
+                kv[:, 0], kv[:, 1], kv[:, 2],
+            ],
+            axis=0,
+        )  # (16, T)
+    else:
+        n = jnp.where(valid, scene.geom_n, 0.0)
+        m1 = jnp.cross(n, v1 - v0)
+        m2 = jnp.cross(n, v2 - v1)
+        m3 = jnp.cross(n, v0 - v2)
+        rows = jnp.stack(
+            [
+                n[:, 0], n[:, 1], n[:, 2], jnp.sum(n * v0, axis=-1),
+                m1[:, 0], m1[:, 1], m1[:, 2], jnp.sum(v0 * m1, axis=-1),
+                m2[:, 0], m2[:, 1], m2[:, 2], jnp.sum(v1 * m2, axis=-1),
+                m3[:, 0], m3[:, 1], m3[:, 2], jnp.sum(v2 * m3, axis=-1),
+            ],
+            axis=0,
+        )  # (16, T)
     tconst = rows.reshape(16, t // width, width).transpose(1, 0, 2)
 
     vmin = jnp.where(valid, jnp.minimum(jnp.minimum(scene.v0, scene.v1), scene.v2), BIG)
@@ -213,11 +255,13 @@ def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
 
 
 def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
-                      *, width: int, tile: int, mega: int, group: int):
+                      *, width: int, tile: int, mega: int, group: int,
+                      mt: bool = False):
     """One grid step = ``mega`` ray subtiles of ``tile`` rays.
 
     cand: SMEM (1, mega, C+8) i32 rows [count, 7 pad, cluster ids (C)];
-    rays: VMEM (mega*tile, 8) packed [ox oy oz dx dy dz 0 0]; tconst: VMEM
+    rays: VMEM (mega*tile, 8) packed [ox oy oz dx dy dz 0 0] (16 wide with
+    w = o x d in cols 6..8 when ``mt``); tconst: VMEM
     (C, 16, width), resident across all grid steps.
 
     Each loop iteration tests ``group`` candidate clusters at once: their
@@ -237,6 +281,8 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
         sub = rays_ref[pl.ds(s * tile, tile), :]
         ox, oy, oz = sub[:, 0:1], sub[:, 1:2], sub[:, 2:3]
         dx, dy, dz = sub[:, 3:4], sub[:, 4:5], sub[:, 5:6]
+        if mt:
+            wx, wy, wz = sub[:, 6:7], sub[:, 7:8], sub[:, 8:9]
         n = cand_ref[0, s, 0]
 
         def body(k, state):
@@ -247,13 +293,24 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
             def dot(r, ax, ay, az):
                 return ax * tc[r:r + 1] + ay * tc[r + 1:r + 2] + az * tc[r + 2:r + 3]
 
-            n_o = dot(_R_N, ox, oy, oz)
-            n_d = dot(_R_N, dx, dy, dz)
-            t = (tc[_R_KN:_R_KN + 1] - n_o) / n_d  # (tile, group*W)
-            c1 = dot(_R_M1, ox, oy, oz) + t * dot(_R_M1, dx, dy, dz) - tc[_R_K1:_R_K1 + 1]
-            c2 = dot(_R_M2, ox, oy, oz) + t * dot(_R_M2, dx, dy, dz) - tc[_R_K2:_R_K2 + 1]
-            c3 = dot(_R_M3, ox, oy, oz) + t * dot(_R_M3, dx, dy, dz) - tc[_R_K3:_R_K3 + 1]
-            inside = (c1 * c2 >= 0) & (c1 * c3 >= 0) & (c2 * c3 >= 0)
+            if mt:
+                det = -dot(_M_N, dx, dy, dz)
+                o_n = dot(_M_N, ox, oy, oz)
+                t = (o_n - tc[_M_KN:_M_KN + 1]) / det  # (tile, group*W)
+                au = dot(_M_E2, wx, wy, wz) + dot(_M_KU, dx, dy, dz)
+                av = -dot(_M_E1, wx, wy, wz) + dot(_M_KV, dx, dy, dz)
+                # u,v,(1-u-v) >= 0 decided by sign agreement with det (u =
+                # au/det etc.); det == 0 gives t = +-inf/NaN, failing below.
+                inside = (au * det >= 0) & (av * det >= 0) & \
+                    ((det - au - av) * det >= 0)
+            else:
+                n_o = dot(_R_N, ox, oy, oz)
+                n_d = dot(_R_N, dx, dy, dz)
+                t = (tc[_R_KN:_R_KN + 1] - n_o) / n_d  # (tile, group*W)
+                c1 = dot(_R_M1, ox, oy, oz) + t * dot(_R_M1, dx, dy, dz) - tc[_R_K1:_R_K1 + 1]
+                c2 = dot(_R_M2, ox, oy, oz) + t * dot(_R_M2, dx, dy, dz) - tc[_R_K2:_R_K2 + 1]
+                c3 = dot(_R_M3, ox, oy, oz) + t * dot(_R_M3, dx, dy, dz) - tc[_R_K3:_R_K3 + 1]
+                inside = (c1 * c2 >= 0) & (c1 * c3 >= 0) & (c2 * c3 >= 0)
             ok = inside & (t > 0) & (t <= bt)  # NaN t fails every compare
             tm = jnp.where(ok, t, 1e30)
             tj = jnp.min(tm, axis=1, keepdims=True)  # (tile, 1)
@@ -280,21 +337,24 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "mega", "group", "interpret")
+    jax.jit, static_argnames=("tile", "mega", "group", "interpret", "mt")
 )
 def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
-                              tile: int, mega: int, group: int, interpret: bool):
+                              tile: int, mega: int, group: int, interpret: bool,
+                              mt: bool = False):
     n_steps = rays.shape[0] // (tile * mega)
     c = accel.num_clusters
+    ray_w = rays.shape[1]
     kernel = functools.partial(_intersect_kernel, width=accel.width,
-                               tile=tile, mega=mega, group=min(group, c))
+                               tile=tile, mega=mega, group=min(group, c),
+                               mt=mt)
     bt, bi = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, mega, c + 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile * mega, 8), lambda i: (i, 0),
+            pl.BlockSpec((tile * mega, ray_w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(accel.tconst.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -319,12 +379,14 @@ def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
 
 def cluster_intersect(accel: ClusterAccel, origin, direction,
                       tile: int = 256, mega: int = 16, group: int = 4,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None, mt: bool = False):
     """Nearest-hit query: (hit (R,) bool, t (R,) f32, tri (R,) i32).
 
     Same result contract as accel.lbvh.bvh_intersect / brute_force_intersect
     (smallest t > 0, MTPC/pathTracing.cpp:355-361); ties between coincident
     triangles may resolve to a different triangle id at identical t.
+    ``mt`` selects the Moller-Trumbore test (the accel must have been built
+    with the matching ``build_cluster_accel(..., mt=...)`` table).
     """
     origin = jax.lax.stop_gradient(origin)
     direction = jax.lax.stop_gradient(direction)
@@ -351,7 +413,16 @@ def cluster_intersect(accel: ClusterAccel, origin, direction,
     zeros = jnp.zeros((origin.shape[0], 2), origin.dtype)
     rays = jnp.concatenate([origin, direction, zeros], axis=1)  # (R, 8)
     cand = _candidates(rays, accel.cmin, accel.cmax, tile, mega, interpret)
-    bt, bi = _cluster_intersect_padded(accel, rays, cand, tile, mega, group, interpret)
+    if mt:
+        # MT needs w = o x d per ray (see the _M_* layout note); widen to 16
+        # columns [o d w 0*7] so the lane dim stays padding-free.
+        w = jnp.cross(origin, direction)
+        rays = jnp.concatenate(
+            [origin, direction, w, jnp.zeros((origin.shape[0], 7), origin.dtype)],
+            axis=1,
+        )
+    bt, bi = _cluster_intersect_padded(accel, rays, cand, tile, mega, group,
+                                       interpret, mt)
     bt, bi = bt[:r], bi[:r]
     hit = bi >= 0
     return hit, jnp.where(hit, bt, BIG), bi

@@ -85,3 +85,62 @@ def test_render_equal_with_cluster_intersector(box_scene):
     )
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mt_variant_matches_brute_force(box_scene):
+    """Modern mode's Moller-Trumbore kernel variant (the _M_* constant layout)
+    vs the brute-force MT oracle (ops.intersect.ray_triangle_mt)."""
+    accel = build_cluster_accel(box_scene, width=4, mt=True)
+    o, d = _random_rays(256, seed=7)
+    hb, tb, ib = brute_force_intersect(box_scene, o, d, compat=False)
+    hc, tc, ic = cluster_intersect(accel, o, d, tile=16, mega=2,
+                                   interpret=True, mt=True)
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(hc))
+    ok = np.asarray(hb)
+    np.testing.assert_allclose(
+        np.asarray(tb)[ok], np.asarray(tc)[ok], rtol=1e-4, atol=1e-5
+    )
+    same = np.asarray(ib)[ok] == np.asarray(ic)[ok]
+    assert same.mean() > 0.99
+
+
+def test_modern_render_uses_mt_cluster(box_scene):
+    """A MODERN-mode render through the explicit cluster path equals the
+    packet-BVH MT path (the ADVICE round-1 finding: the cluster kernel used
+    to silently apply the compat plane+sign test in modern mode)."""
+    from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+    from montecarlopathtracing_tpu.config import MODERN
+    from montecarlopathtracing_tpu.integrator.wavefront import render_pixels
+
+    bvh = build_lbvh(box_scene)
+    ids = jnp.arange(box_scene.camera.width * box_scene.camera.height,
+                     dtype=jnp.int32)
+    base = RenderOptions(spp=2, max_depth=4, cluster_width=4, cluster_rays=16,
+                         compat=MODERN)
+    ref, _ = render_pixels(box_scene, bvh, base.replace(intersector="bvh"), ids)
+    got, _ = render_pixels(
+        box_scene, bvh,
+        base.replace(intersector="cluster_interpret", sort_rays=True), ids,
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_explicit_cluster_fallback_warns():
+    """An explicit cluster request on a scene too large for the VMEM table
+    warns about the packet-walk substitution (silent before round 2)."""
+    import warnings
+
+    from montecarlopathtracing_tpu.integrator.wavefront import resolve_plan
+
+    opts = RenderOptions(intersector="cluster")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        kind, _, _ = resolve_plan(opts, num_tris=1 << 22)
+    assert kind == "bvh"
+    assert any("falling back" in str(w.message) for w in rec)
+    # 'auto' stays silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        resolve_plan(RenderOptions(intersector="auto"), num_tris=1 << 22)
+    assert not rec
