@@ -56,15 +56,32 @@ def n_bounce_slots(num_lights: int) -> int:
 
 
 def lane_keys(seed, pixel_ids, sample_idx):
-    """One stream key per lane — uint32 (R,). pixel_ids (R,) int32;
-    sample_idx scalar or (R,) (the refill wavefront runs mixed samples)."""
+    """One stream key per lane — uint32 (R, 2). pixel_ids (R,) int32;
+    sample_idx scalar or (R,) (the refill wavefront runs mixed samples).
+
+    The key is a 64-bit pair of independently-mixed words: a single 32-bit
+    hash of (seed, pixel, sample) has birthday collisions between distinct
+    work items at frame scale (~n^2/2^33 pairs — a 1M-item queue yields ~100
+    pairs whose whole uniform streams would coincide).  Both words enter the
+    per-bounce stream derivation (see _stream), so a full-stream collision
+    now needs a 64-bit coincidence; residual per-bounce 32-bit collisions of
+    the derived base affect only that bounce's handful of draws
+    (statistically invisible).
+    """
+    pix = pixel_ids.astype(jnp.uint32)
+    samp = jnp.asarray(sample_idx).astype(jnp.uint32)
     k = _mix(jnp.uint32(seed) + _GOLD)
-    k = _mix(k ^ pixel_ids.astype(jnp.uint32))
-    return _mix(k + (jnp.asarray(sample_idx).astype(jnp.uint32) + 1) * _GOLD2)
+    k1 = _mix(_mix(k ^ pix) + (samp + 1) * _GOLD2)
+    # Independent second word: different constant path and mixing order.
+    k2 = _mix(_mix(k + (pix + 1) * _GOLD2) ^ (samp * _GOLD + jnp.uint32(0x6A09E667)))
+    return jnp.stack([k1, k2], axis=-1)
 
 
 def _stream(keys, stream_id):
-    return _mix(keys ^ (jnp.asarray(stream_id).astype(jnp.uint32) + 1) * _GOLD)
+    """Per-(lane, stream) base folding BOTH key words — one extra mix per
+    lane per stream vs the 32-bit scheme; per-uniform cost unchanged."""
+    b = _mix(keys[..., 0] ^ (jnp.asarray(stream_id).astype(jnp.uint32) + 1) * _GOLD)
+    return _mix(b + keys[..., 1])
 
 
 def bounce_uniforms(keys, depth, n_slots: int):

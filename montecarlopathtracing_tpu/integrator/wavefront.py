@@ -187,29 +187,34 @@ def _gather_i32(table, idx):
 def _permute_rows(perm, f32_fields, int_fields):
     """Permute per-lane state with ONE row gather (separate (R,) int/bool
     takes are the same slow scalar-gather pattern as above).  f32_fields:
-    (R,k) arrays; int_fields: (R,) int32/uint32/bool arrays, returned with
-    their input dtypes."""
-    kinds = [f.dtype for f in int_fields]
-    ints = jnp.stack(
-        [jax.lax.bitcast_convert_type(f.astype(jnp.int32), jnp.float32)
-         if f.dtype != jnp.bool_ else f.astype(jnp.float32)
-         for f in int_fields], axis=1)
+    (R,k) arrays; int_fields: (R,) or (R,k) int32/uint32/bool arrays,
+    returned with their input dtypes and shapes."""
+    kinds = [(f.dtype, f.ndim == 1, 1 if f.ndim == 1 else f.shape[1])
+             for f in int_fields]
+    int_cols = [
+        (jax.lax.bitcast_convert_type(f.astype(jnp.int32), jnp.float32)
+         if f.dtype != jnp.bool_ else f.astype(jnp.float32)).reshape(
+             f.shape[0], -1)
+        for f in int_fields
+    ]
     widths = [f.shape[1] for f in f32_fields]
-    payload = jnp.take(jnp.concatenate(list(f32_fields) + [ints], axis=1),
+    payload = jnp.take(jnp.concatenate(list(f32_fields) + int_cols, axis=1),
                        perm, axis=0)
     out_f, pos = [], 0
     for w in widths:
         out_f.append(payload[:, pos:pos + w])
         pos += w
     out_i = []
-    for i, dt in enumerate(kinds):
-        col = payload[:, pos + i]
+    for dt, squeeze, k in kinds:
+        col = payload[:, pos:pos + k]
+        if squeeze:
+            col = col[:, 0]
+        pos += k
         if dt == jnp.bool_:
             out_i.append(col != 0)
         else:
-            out_i.append(jax.lax.bitcast_convert_type(col, jnp.int32).astype(dt)
-                         if dt != jnp.int32
-                         else jax.lax.bitcast_convert_type(col, jnp.int32))
+            as_i = jax.lax.bitcast_convert_type(col, jnp.int32)
+            out_i.append(as_i if dt == jnp.int32 else as_i.astype(dt))
     return out_f, out_i
 
 
@@ -702,7 +707,7 @@ def render_pixels_refill(
 
         active = (active & ~done) | refill
         item_id = jnp.where(refill, item, item_id)
-        keys = jnp.where(refill, keys_new, keys)
+        keys = jnp.where(refill[:, None], keys_new, keys)
         depth = jnp.where(refill, 0, depth + cont.astype(jnp.int32))
         kind = jnp.where(refill, KIND_PRIMARY, jnp.where(cont, rtype, kind))
         origin = jnp.where(refill[:, None], o_new,

@@ -1,5 +1,6 @@
 """NumPy float64 oracle: an independent re-derivation of the reference
-integrator's compat-mode semantics (SURVEY.md §4.2).
+integrator's semantics (SURVEY.md §4.2), for BOTH compat mode (the default
+quirk set) and MODERN mode (every CompatOptions fix flag).
 
 This is a from-scratch scalar-math NumPy implementation of the estimator in
 ``MTPC/pathTracing.cpp`` (shade :137-266, nextRay :66-134, generateImg
@@ -8,6 +9,11 @@ This is a from-scratch scalar-math NumPy implementation of the estimator in
 implementations see identical random numbers and identical compat semantics,
 the TPU f32 render must match this f64 render to float32 tolerance — a far
 stronger check than statistical allclose.
+
+The compat default semantics are additionally validated against the ACTUAL
+reference binary: tools/refbin compiles the unmodified reference sources on
+this machine, and per-pixel expectations of this oracle agree with
+high-SPP probes of the reference's own shade() (see tests/golden/).
 
 Intersection is brute force (every triangle) so the oracle is independent of
 the LBVH as well.  Use on tiny scenes only.
@@ -46,17 +52,31 @@ def _np(scene):
     }
 
 
-def _intersect_brute(s, o, d):
-    """Nearest hit, plane+sign compat test, f64, vectorized rays x tris."""
+def _intersect_brute(s, o, d, compat: bool = True):
+    """Nearest hit, f64, vectorized rays x tris.  compat=True: the reference's
+    plane+sign test; compat=False: Moller-Trumbore (modern mode, twin of
+    ops.intersect.ray_triangle_mt)."""
     p0, p1, p2, gn = s["v0"], s["v1"], s["v2"], s["geom_n"]
     with np.errstate(divide="ignore", invalid="ignore"):
-        denom = np.einsum("td,rd->rt", gn, d)
-        t = np.einsum("rtd,td->rt", p0[None] - o[:, None], gn) / denom
-        p = o[:, None] + d[:, None] * t[..., None]
-        c1 = np.einsum("rtd,td->rt", np.cross(p1 - p0, p - p0[None]), gn)
-        c2 = np.einsum("rtd,td->rt", np.cross(p2 - p1, p - p1[None]), gn)
-        c3 = np.einsum("rtd,td->rt", np.cross(p0 - p2, p - p2[None]), gn)
-        hit = (c1 * c2 >= 0) & (c1 * c3 >= 0) & (c2 * c3 >= 0)
+        if compat:
+            denom = np.einsum("td,rd->rt", gn, d)
+            t = np.einsum("rtd,td->rt", p0[None] - o[:, None], gn) / denom
+            p = o[:, None] + d[:, None] * t[..., None]
+            c1 = np.einsum("rtd,td->rt", np.cross(p1 - p0, p - p0[None]), gn)
+            c2 = np.einsum("rtd,td->rt", np.cross(p2 - p1, p - p1[None]), gn)
+            c3 = np.einsum("rtd,td->rt", np.cross(p0 - p2, p - p2[None]), gn)
+            hit = (c1 * c2 >= 0) & (c1 * c3 >= 0) & (c2 * c3 >= 0)
+        else:
+            e1, e2 = p1 - p0, p2 - p0
+            pvec = np.cross(d[:, None], e2[None])           # (R,T,3)
+            det = np.einsum("td,rtd->rt", e1, pvec)
+            inv_det = 1.0 / det
+            tvec = o[:, None] - p0[None]
+            u = np.einsum("rtd,rtd->rt", tvec, pvec) * inv_det
+            qvec = np.cross(tvec, e1[None])
+            v = np.einsum("rd,rtd->rt", d, qvec) * inv_det
+            t = np.einsum("td,rtd->rt", e2, qvec) * inv_det
+            hit = (u >= 0) & (v >= 0) & (u + v <= 1)
     hit &= np.isfinite(t) & (t > 0) & s["tri_valid"][None]
     t = np.where(hit, t, np.inf)
     tri = np.argmin(t, axis=1)
@@ -91,9 +111,12 @@ def _lobe_frame(axis):
 
 
 def oracle_render_pixels(scene, opts: RenderOptions, pixel_ids) -> np.ndarray:
-    """Mean radiance (R,3) float64 over opts.spp samples. Compat mode only."""
-    assert opts.compat.no_pixel_jitter, "oracle implements compat mode"
-    assert opts.compat.plane_sign_triangle_test
+    """Mean radiance (R,3) float64 over opts.spp samples.
+
+    Supports every CompatOptions flag combination (compat defaults AND the
+    MODERN fix set), consuming the exact same uniform stream as the device
+    integrator in either mode.
+    """
     s = _np(scene)
     cam = scene.camera
     r_count = len(pixel_ids)
@@ -112,20 +135,28 @@ def oracle_render_pixels(scene, opts: RenderOptions, pixel_ids) -> np.ndarray:
     start = np.asarray(cam.look_at, np.float64) - x_dir * dx + up * dy
     ii = (np.asarray(pixel_ids) // cam.width).astype(np.float64)
     jj = (np.asarray(pixel_ids) % cam.width).astype(np.float64)
-    pos = start[None] + x_dir[None] * (pdx * jj)[:, None] - up[None] * (pdy * ii)[:, None]
-    d0 = _norm(pos - eye[None])
-    o0 = np.broadcast_to(eye, d0.shape).copy()
 
     acc = np.zeros((r_count, 3))
     for samp in range(opts.spp):
         keys = rng.lane_keys(opts.seed, np.asarray(pixel_ids, np.int32), samp)
-        acc += _trace(s, opts, keys, o0.copy(), d0.copy(), n_slots, num_lights)
+        i_s, j_s = ii, jj
+        if not opts.compat.no_pixel_jitter:  # modern AA (camera.py jitter)
+            jit = np.asarray(rng.primary_uniforms(keys), np.float64)
+            j_s = jj + jit[:, 0]
+            i_s = ii + jit[:, 1]
+        pos = (start[None] + x_dir[None] * (pdx * j_s)[:, None]
+               - up[None] * (pdy * i_s)[:, None])
+        d0 = _norm(pos - eye[None])
+        o0 = np.broadcast_to(eye, d0.shape).copy()
+        acc += _trace(s, opts, keys, o0, d0, n_slots, num_lights)
     return acc / opts.spp
 
 
 def _trace(s, opts, keys, o, d, n_slots, num_lights):
+    compat = opts.compat
+    tri_compat = compat.plane_sign_triangle_test
     r_count = len(o)
-    hit, t, tri = _intersect_brute(s, o, d)
+    hit, t, tri = _intersect_brute(s, o, d, tri_compat)
     mat = s["mat_id"][np.maximum(tri, 0)]
     emit0 = hit & s["is_emitter"][mat]
     radiance = np.where(emit0[:, None], s["emission"][mat], 0.0)
@@ -142,6 +173,8 @@ def _trace(s, opts, keys, o, d, n_slots, num_lights):
         bary = _bary(p, p0, p1, p2)
         pn = (s["n0"][tri_c] * bary[:, :1] + s["n1"][tri_c] * bary[:, 1:2]
               + s["n2"][tri_c] * bary[:, 2:])
+        if not compat.unnormalized_shading_normal:
+            pn = _norm(pn)
         mat = s["mat_id"][tri_c]
         kd = s["kd"][mat]
         if s["atlas"].shape[0] > 0:  # untextured scenes carry a (0,3) atlas
@@ -166,8 +199,12 @@ def _trace(s, opts, keys, o, d, n_slots, num_lights):
                         0, s["light_face_cum"].shape[1] - 1)
             ltri = s["light_face_tri"][li][j]
             r1, r2, r3 = u[:, base + 1], u[:, base + 2], u[:, base + 3]
-            sm = r1 + r2 + r3
-            w0, w1, w2 = r1 / sm, r2 / sm, r3 / sm
+            if compat.simplex_light_sampling:
+                sm = r1 + r2 + r3
+                w0, w1, w2 = r1 / sm, r2 / sm, r3 / sm
+            else:  # uniform sqrt warp (ops.sampling.sample_triangle_point)
+                su = np.sqrt(r1)
+                w0, w1, w2 = 1.0 - su, su * (1.0 - r2), su * r2
             xl = (s["v0"][ltri] * w0[:, None] + s["v1"][ltri] * w1[:, None]
                   + s["v2"][ltri] * w2[:, None])
             vnl = (s["n0"][ltri] * w0[:, None] + s["n1"][ltri] * w1[:, None]
@@ -176,13 +213,21 @@ def _trace(s, opts, keys, o, d, n_slots, num_lights):
             dist_real = np.linalg.norm(delta, axis=-1)
             dirn = delta / np.maximum(dist_real, 1e-300)[:, None]
             so = p + dirn * opts.ray_epsilon
-            hs, ts, tris = _intersect_brute(s, so, dirn)
-            vis = hs & (s["mat_id"][np.maximum(tris, 0)] == s["light_mat"][li])
+            hs, ts, tris = _intersect_brute(s, so, dirn, tri_compat)
+            if compat.material_equality_visibility:
+                vis = hs & (s["mat_id"][np.maximum(tris, 0)] == s["light_mat"][li])
+            else:  # distance-based (wavefront._nee_direct modern branch)
+                vis = (~hs) | (ts + opts.ray_epsilon >= dist_real - 1e-3)
             cos_l = np.abs(np.einsum("rd,rd->r", dirn, _norm(vnl)))
             kd_dots = np.einsum("rd,rd->r", dirn, pn)
-            cos_r = np.abs(kd_dots) / np.maximum(pn_len, 1e-300)
-            dist = np.maximum(1.0, dist_real)
-            geom = cos_l * cos_r / dist ** 2 * s["light_total"][li] * kd_dots
+            dist = np.maximum(1.0, dist_real) if compat.clamp_light_distance \
+                else dist_real
+            if compat.double_receiver_cosine:
+                cos_r = np.abs(kd_dots) / np.maximum(pn_len, 1e-300)
+                geom = cos_l * cos_r / dist ** 2 * s["light_total"][li] * kd_dots
+            else:
+                cos_r = kd_dots / np.maximum(pn_len, 1e-300)
+                geom = cos_l * np.maximum(cos_r, 0.0) / dist ** 2 * s["light_total"][li]
             ok = alive & vis & (kd_dots > 0)
             l_dir += np.where(ok[:, None],
                               kd * s["light_radiance"][li][None] * (geom / PI)[:, None],
@@ -231,13 +276,14 @@ def _trace(s, opts, keys, o, d, n_slots, num_lights):
 
         new_d = np.where(take_refract[:, None], d_trans, d_lobe)
         ray_type = np.where(take_refract, type_trans, type_lobe)
-        eps = np.where(take_refract, 0.0, opts.ray_epsilon)
+        eps = np.where(take_refract & compat.no_transmission_epsilon,
+                       0.0, opts.ray_epsilon)
         new_o = p + new_d * eps[:, None]
         weight = np.where((ray_type == 2)[:, None], 1.0,
                           np.where((ray_type == 1)[:, None], s["ks"][mat], kd))
         beta2 = beta1 * weight
 
-        hit2, t2, tri2 = _intersect_brute(s, new_o, new_d)
+        hit2, t2, tri2 = _intersect_brute(s, new_o, new_d, tri_compat)
         mat2 = s["mat_id"][np.maximum(tri2, 0)]
         emit2 = hit2 & s["is_emitter"][mat2]
         alive2 = cont & hit2
