@@ -571,19 +571,33 @@ def render_pixels_refill(
     lanes: int | None = None,
     differentiable: bool = False,
 ):
-    """Persistent-wavefront renderer with lane refill.
+    """Persistent-wavefront renderer with pixel-pinned lane refill.
 
     The scan-over-samples path (render_pixels) re-runs the bounce loop at full
     width while Russian roulette kills 40% of lanes per bounce — occupancy
     decays 0.6^depth, so ~90% of every iteration's lockstep work is masked-out
-    dead lanes.  Here the wavefront is a lane *pool* over the work queue of
-    (pixel, sample) items: each iteration advances every in-flight path by one
-    segment, retires finished paths into a per-pixel film via scatter-add, and
-    immediately refills their lanes with fresh camera samples — occupancy
-    stays near 100% and total iterations drop from spp*max_depth to roughly
-    spp*E[path length] + tail.  This is the wavefront-compaction design of
-    SURVEY.md §7 ("hard parts" #1) in its TPU form: compaction = one argsort,
-    scheduling = a cumsum over dead lanes.
+    dead lanes.  Here the wavefront is a lane *pool* over a work queue of
+    PIXELS: a lane pops a pixel slot and runs all ``spp`` of its samples
+    back-to-back, accumulating their radiance in the lane's own register
+    (``rad``); only when the pixel completes does the sum get staged for a
+    film write.  This pinning buys two large wins over per-(pixel, sample)
+    item scheduling (both profiled on v5e, see git log):
+
+    * **Film scatter amortization.**  Completed pixels stage into
+      (pend_slot, pend_rad) lane registers and are flushed by ONE scatter
+      every ``spp`` iterations under ``lax.cond`` — safe because a pixel
+      takes >= spp iterations (each sample needs >= 1), so a lane cannot
+      complete two pixels between flushes.  The dummy index for non-pending
+      lanes is ``n_pix + lane``, keeping every flush's index set unique (the
+      film is allocated with r spill rows that are sliced off at the end).
+      Replaces a full-width scatter-add EVERY iteration (~3.4 ms/iter).
+    * **In-lane primary-hit reuse** (compat mode): every sample of a pixel
+      shoots the IDENTICAL primary ray (quirk #1, MTPC/pathTracing.cpp:
+      305-309), so the first sample's hit (t, tri, hit) is cached in lane
+      registers and samples 2..spp skip traversal entirely — their rays are
+      parked so the cluster kernel sees empty candidate lists.  No tables,
+      no gathers; bitwise identical to re-intersecting (same program, same
+      inputs).  Disabled under modern-mode jittered AA.
 
     Estimator and per-path RNG streams are identical to render_pixels (keys
     are (pixel, sample, depth)-keyed, so lane scheduling is invisible); only
@@ -591,72 +605,93 @@ def render_pixels_refill(
 
     ``differentiable=True`` swaps the while_loop for a lax.scan with a static
     iteration budget (reverse-mode needs a static trip count), rematerialized
-    per iteration: budget = queue length * E[segments/path] (geometric RR at
+    per iteration: budget = total samples * E[segments/path] (geometric RR at
     p=0.6 => 1/(1-p)=2.5, an upper bound since misses terminate early) with
-    20% slack, + max_depth to drain in-flight paths.  Paths unfinished at the
-    budget (measure ~0: lane-pool concentration over millions of Bernoulli
-    segments) are dropped.
+    20% slack, + drain margin.  Paths unfinished at the budget (measure ~0:
+    lane-pool concentration over millions of Bernoulli segments) are dropped.
+    Completed pixels leave the scan as stacked (rad, slot) outputs and are
+    scattered once after the loop.
 
     ``lanes`` sizes the lane pool independently of the pixel set (default: one
-    lane per pixel): a whole frame's (pixel, sample) queue can be drained by a
-    fixed 64k-lane pool in a single device program, paying the end-of-queue
-    occupancy tail once per frame instead of once per pixel chunk.
+    lane per pixel): a whole frame's pixel queue can be drained by a fixed
+    64k-lane pool in a single device program, paying the end-of-queue
+    occupancy tail once per frame.
 
     Returns (mean radiance (n_pix,3) aligned with pixel_ids, rays traced ()).
     """
     n_pix = pixel_ids.shape[0]
     r = min(lanes or n_pix, n_pix)
     spp = opts.spp
-    n_items = n_pix * spp
     n_slots = rng.n_bounce_slots(scene.num_lights)
     do_sort = _should_sort(opts, scene.num_tris_padded) and r > opts.cluster_rays
     compat = opts.compat
     num_lights = scene.num_lights
+    reuse_primary = compat.no_pixel_jitter  # quirk #1: identical primaries
+    lane_iota = jnp.arange(r, dtype=jnp.int32)
+    dummy_slot = jnp.int32(n_pix) + lane_iota  # unique film spill rows
 
     def primary_for(pix, keys):
         jitter = None if compat.no_pixel_jitter else rng.primary_uniforms(keys)
         return primary_rays(scene.camera, pix, jitter)
 
-    slot0 = jnp.arange(r, dtype=jnp.int32)
     pix0 = pixel_ids[:r]
     keys0 = rng.lane_keys(opts.seed, pix0, jnp.asarray(sample_offset))
     o0, d0 = primary_for(pix0, keys0)
 
     # In differentiable mode lax.scan stacks every saved carry as
     # (n_iter, *field): an (r, 3) field pads its minor dim 3 -> 128 on TPU
-    # (42x HBM blowup), so the four f32 vector fields travel packed as one
-    # (12, r) array (sublane pad 12 -> 16 only) and are transposed in/out of
-    # the step. The forward while_loop keeps the cheap unpacked layout.
+    # (42x HBM blowup), so the five f32 vector fields travel packed as one
+    # (15, r) array (sublane pad 15 -> 16 only) and are transposed in/out of
+    # the step. The forward while_loop keeps the unpacked layout.
     if differentiable:
-        def pack_f(o, d, b, rd):
-            return (jnp.concatenate([o.T, d.T, b.T, rd.T], axis=0),)
+        def pack_f(o, d, b, rd, pr):
+            return (jnp.concatenate([o.T, d.T, b.T, rd.T, pr.T], axis=0),)
 
         def unpack_f(packed):
             (fs,) = packed
-            return fs[0:3].T, fs[3:6].T, fs[6:9].T, fs[9:12].T
+            return fs[0:3].T, fs[3:6].T, fs[6:9].T, fs[9:12].T, fs[12:15].T
     else:
-        def pack_f(o, d, b, rd):
-            return (o, d, b, rd)
+        def pack_f(o, d, b, rd, pr):
+            return (o, d, b, rd, pr)
 
         def unpack_f(packed):
             return packed
 
     def step(state):
-        """One wavefront iteration sans film: returns (state', retired
-        radiance (r,3) — zeros for non-retiring lanes, film indices (r,) =
-        each lane's pre-refill work item, unique across lanes)."""
-        (q, n_rays, active, item_id, keys, depth, kind, *fvec) = state
-        origin, direction, beta, rad = unpack_f(tuple(fvec))
+        """One wavefront iteration sans film writes: returns (state',
+        flush_rad (r,3), flush_slot (r,)) — the pixel sums completed THIS
+        iteration (zeros / unique dummy slots elsewhere), which the caller
+        either stages (forward, flushed every spp iterations) or stacks
+        (differentiable scan, scattered once at the end)."""
+        (q, n_rays, active, slot, pix, samp, samp_left, keys, depth, kind,
+         need_isect, hit_c, t_c, tri_c, prim_ok, prim_hit, prim_t, prim_tri,
+         pend_slot, *fvec) = state
+        origin, direction, beta, rad, pend_rad = unpack_f(tuple(fvec))
 
-        o_park = jnp.where(active[:, None], origin, 1e9)
-        hit, t, tri = intersect_any(scene, bvh, o_park, direction, opts)
+        # --- Traversal: only lanes without a cached arrival; parked rays
+        # (origin 1e9) present empty candidate lists to the cluster kernel.
+        trav = active & need_isect
+        o_park = jnp.where(trav[:, None], origin, 1e9)
+        hit_q, t_q, tri_q = intersect_any(scene, bvh, o_park, direction, opts)
+        hit = jnp.where(need_isect, hit_q, hit_c)
+        t = jnp.where(need_isect, t_q, t_c)
+        tri = jnp.where(need_isect, tri_q, tri_c)
+        # n_rays counts estimator-level segments (what the reference would
+        # cast); cached primaries are memoized, not skipped, estimator-wise.
         n_rays = n_rays + jnp.sum(active)
+
+        # Cache the pixel's first-sample primary hit for reuse.
+        is_prim = kind == KIND_PRIMARY
+        fresh_prim = trav & is_prim
+        prim_hit = jnp.where(fresh_prim, hit, prim_hit)
+        prim_t = jnp.where(fresh_prim, t, prim_t)
+        prim_tri = jnp.where(fresh_prim, tri, prim_tri)
+        prim_ok = prim_ok | fresh_prim
 
         # One packed row gather serves both the arrival logic and shading.
         p, pn, matf, kd = _gather_hit(scene, opts, origin, direction, t, tri)
         emit = hit & (matf[:, _MF_IS_EMITTER] > 0)
         emission = matf[:, _MF_EMIT]
-        is_prim = kind == KIND_PRIMARY
         # Emitter-hit terms: primary returns the light radiance
         # (MTPC/pathTracing.cpp:141-144); SPECULAR/TRANSMISSION bounces see
         # emitters, DIFFUSE does not (NEE double-count guard, :247-261).
@@ -666,7 +701,7 @@ def render_pixels_refill(
         rad = rad + jnp.where(add_spec[:, None], beta * emission, 0.0)
 
         shade = active & hit & ~emit & (depth < opts.max_depth)
-        done = active & ~shade
+        sample_done = active & ~shade
 
         u = rng.bounce_uniforms(keys, depth, n_slots)
         rad = rad + jnp.where(
@@ -679,48 +714,67 @@ def render_pixels_refill(
             scene, opts, p, pn, matf, kd, direction, u
         )
         beta = jnp.where(cont[:, None], (beta / opts.rr_probability) * weight, beta)
-        done = done | (shade & ~cont)
+        sample_done = sample_done | (shade & ~cont)
         n_rays = n_rays + jnp.sum(shade) * num_lights
 
-        # Retire finished paths: their radiance leaves the wavefront here
-        # (zero contributions at non-retiring lanes' own items are harmless
-        # and keep the index set unique).
-        done_rad = jnp.where(done[:, None], rad, 0.0)
-        film_idx = item_id
+        # --- Sample / pixel transitions.
+        pixel_done = sample_done & (samp_left <= 0)
+        next_samp = sample_done & (samp_left > 0)
 
-        # Refill dead lanes from the work queue (item j -> pixel slot
-        # j % n_pix, sample j // n_pix: sample-major, so refills walk the
-        # swizzled pixel order and stay spatially coherent). The divmod is
-        # done on the scalar queue head + a vector wraparound — per-lane
-        # integer division is a slow multi-op sequence on the VPU.
-        dead = ~active | done
-        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1  # < r <= n_pix
-        item = q + rank
-        refill = dead & (item < n_items)
-        slot_new = q % n_pix + rank
-        wrap = slot_new >= n_pix
-        slot_new = jnp.where(wrap, slot_new - n_pix, slot_new)
-        samp_new = q // n_pix + wrap.astype(jnp.int32) + sample_offset
-        pix_new = _gather_i32(pixel_ids, slot_new)
-        keys_new = rng.lane_keys(opts.seed, pix_new, samp_new)
+        # Next sample of the SAME pixel: fresh keys, depth 0; under compat
+        # the cached primary hit replaces traversal (reuse_primary).
+        samp2 = samp + 1
+        keys_same = rng.lane_keys(opts.seed, pix, samp2)
+        o_same, d_same = primary_for(pix, keys_same)
+        reuse = next_samp & prim_ok if reuse_primary else jnp.zeros_like(next_samp)
+
+        # New pixel from the queue (rank-compacted among completing lanes).
+        rank = jnp.cumsum(pixel_done.astype(jnp.int32)) - 1
+        new_slot = q + rank
+        take = pixel_done & (new_slot < n_pix)
+        pix_new = _gather_i32(pixel_ids, jnp.minimum(new_slot, n_pix - 1))
+        keys_new = rng.lane_keys(opts.seed, pix_new, jnp.asarray(sample_offset))
         o_new, d_new = primary_for(pix_new, keys_new)
 
-        active = (active & ~done) | refill
-        item_id = jnp.where(refill, item, item_id)
-        keys = jnp.where(refill[:, None], keys_new, keys)
-        depth = jnp.where(refill, 0, depth + cont.astype(jnp.int32))
-        kind = jnp.where(refill, KIND_PRIMARY, jnp.where(cont, rtype, kind))
-        origin = jnp.where(refill[:, None], o_new,
-                           jnp.where(cont[:, None], new_o, origin))
-        direction = jnp.where(refill[:, None], d_new,
-                              jnp.where(cont[:, None], new_d, direction))
-        beta = jnp.where(refill[:, None], 1.0, beta)
-        rad = jnp.where(refill[:, None], 0.0, rad)
-        q = q + jnp.sum(refill)
+        # Flush outputs (pre-sort) for the differentiable scan path; the
+        # forward path instead stages into the pend registers just below.
+        flush_slot = jnp.where(pixel_done, slot, dummy_slot)
+        flush_rad = jnp.where(pixel_done[:, None], rad, 0.0)
+        # Stage completed pixel sums in lane registers (they ride the sort
+        # with their owning lane); flushed before this lane can complete
+        # another pixel (>= spp iterations away).
+        pend_slot = jnp.where(pixel_done, slot, pend_slot)
+        pend_rad = jnp.where(pixel_done[:, None], rad, pend_rad)
+
+        restart = next_samp | take
+        active = (active & ~sample_done) | restart
+        slot = jnp.where(take, new_slot, slot)
+        pix = jnp.where(take, pix_new, pix)
+        samp = jnp.where(take, jnp.asarray(sample_offset), jnp.where(next_samp, samp2, samp))
+        samp_left = jnp.where(take, spp - 1,
+                              jnp.where(next_samp, samp_left - 1, samp_left))
+        keys = jnp.where(take[:, None], keys_new,
+                         jnp.where(next_samp[:, None], keys_same, keys))
+        depth = jnp.where(restart, 0, depth + cont.astype(jnp.int32))
+        kind = jnp.where(restart, KIND_PRIMARY, jnp.where(cont, rtype, kind))
+        origin = jnp.where(take[:, None], o_new,
+                           jnp.where(next_samp[:, None], o_same,
+                                     jnp.where(cont[:, None], new_o, origin)))
+        direction = jnp.where(take[:, None], d_new,
+                              jnp.where(next_samp[:, None], d_same,
+                                        jnp.where(cont[:, None], new_d, direction)))
+        beta = jnp.where(restart[:, None], 1.0, beta)
+        rad = jnp.where(take[:, None], 0.0, rad)  # next_samp keeps the sum
+        prim_ok = prim_ok & ~take
+        need_isect = jnp.where(reuse, False, jnp.ones_like(need_isect))
+        hit_c = jnp.where(reuse, prim_hit, hit_c)
+        t_c = jnp.where(reuse, prim_t, t_c)
+        tri_c = jnp.where(reuse, prim_tri, tri_c)
+        q = q + jnp.sum(take)
 
         if do_sort:
             # Coherence grouping: bounce segments by (origin cluster, new
-            # direction octant); fresh camera segments share one bucket.
+            # direction octant); camera segments share one bucket.
             w = opts.cluster_width
             cluster = (jnp.maximum(tri, 0) >> (w.bit_length() - 1)
                        if w & (w - 1) == 0 else jnp.maximum(tri, 0) // w)
@@ -730,75 +784,114 @@ def render_pixels_refill(
                 + (direction[:, 2] > 0).astype(jnp.int32)
             )
             bucket = jnp.where(kind == KIND_PRIMARY, jnp.int32(1 << 20), cluster)
-            sort_key = jnp.where(active, bucket * 8 + octant, jnp.int32(2**30))
+            sort_key = jnp.where(active & need_isect, bucket * 8 + octant,
+                                 jnp.where(active, jnp.int32(1 << 24),
+                                           jnp.int32(2 ** 30)))
             perm = jnp.argsort(sort_key)
-            (origin, direction, beta, rad), \
-                (item_id, keys, depth, kind, active) = _permute_rows(
+            (origin, direction, beta, rad, pend_rad, f_pack), \
+                (slot, pix, samp, samp_left, keys, depth, kind, active,
+                 need_isect, hit_c, tri_c, prim_ok, prim_hit, prim_tri,
+                 pend_slot) = _permute_rows(
                     perm,
-                    (origin, direction, beta, rad),
-                    (item_id, keys, depth, kind, active),
+                    (origin, direction, beta, rad, pend_rad,
+                     jnp.stack([t_c, prim_t], axis=1)),
+                    (slot, pix, samp, samp_left, keys, depth, kind, active,
+                     need_isect, hit_c, tri_c, prim_ok, prim_hit, prim_tri,
+                     pend_slot),
                 )
+            t_c, prim_t = f_pack[:, 0], f_pack[:, 1]
+            # flush outputs are consumed pre-sort; nothing else to fix up.
 
-        return ((q, n_rays, active, item_id, keys, depth, kind)
-                + pack_f(origin, direction, beta, rad),
-                done_rad, film_idx)
+        return ((q, n_rays, active, slot, pix, samp, samp_left, keys, depth,
+                 kind, need_isect, hit_c, t_c, tri_c, prim_ok, prim_hit,
+                 prim_t, prim_tri, pend_slot)
+                + pack_f(origin, direction, beta, rad, pend_rad),
+                flush_rad, flush_slot)
 
     state0 = (
-        jnp.int32(r),                      # q: first r items issued below
+        jnp.int32(r),                      # q: first r pixel slots issued below
         jnp.float32(0),                    # n_rays
         jnp.ones((r,), bool),              # active
-        slot0,                             # item_id: initial items 0..r-1
+        lane_iota,                         # slot: pixel slots 0..r-1
+        pix0,
+        jnp.full((r,), sample_offset, jnp.int32),   # samp (absolute)
+        jnp.full((r,), spp - 1, jnp.int32),         # samp_left
         keys0,
         jnp.zeros((r,), jnp.int32),        # depth
         jnp.full((r,), KIND_PRIMARY, jnp.int32),
+        jnp.ones((r,), bool),              # need_isect
+        jnp.zeros((r,), bool),             # hit_c
+        jnp.zeros((r,), jnp.float32),      # t_c
+        jnp.zeros((r,), jnp.int32),        # tri_c
+        jnp.zeros((r,), bool),             # prim_ok
+        jnp.zeros((r,), bool),             # prim_hit
+        jnp.zeros((r,), jnp.float32),      # prim_t
+        jnp.zeros((r,), jnp.int32),        # prim_tri
+        dummy_slot,                        # pend_slot
     ) + pack_f(
         o0,
         d0,
         jnp.ones((r, 3), jnp.float32),     # beta
         jnp.zeros((r, 3), jnp.float32),    # rad
+        jnp.zeros((r, 3), jnp.float32),    # pend_rad
     )
 
     if differentiable:
-        # Static iteration budget for reverse-mode; retired radiance leaves
-        # the loop as stacked scan outputs (flattened so the stacked minor
-        # dim is lane-sized, not 3) and is scattered into the film once
-        # afterwards.
+        # Static iteration budget for reverse-mode; completed pixel sums
+        # leave the loop as stacked scan outputs (flattened so the stacked
+        # minor dim is lane-sized, not 3) and are scattered into the film
+        # once afterwards (duplicate dummy indices across iterations, so no
+        # unique_indices claim — one combining scatter per frame).
         e_seg = 1.0 / (1.0 - opts.rr_probability)  # upper bound on E[segments]
-        n_iter = int(np.ceil(n_items * e_seg * 1.2 / r)) + opts.max_depth + 4
+        n_iter = (int(np.ceil(n_pix * spp * e_seg * 1.2 / r))
+                  + opts.max_depth + spp + 4)
 
         def scan_body(state, _):
-            state, done_rad, film_idx = jax.checkpoint(step)(state)
-            return state, (done_rad.T.reshape(-1), film_idx)
+            state, flush_rad, flush_slot = jax.checkpoint(step)(state)
+            return state, (flush_rad.T.reshape(-1), flush_slot)
 
-        state, (rad_out, idx_out) = jax.lax.scan(
+        state, (rad_out, slot_out) = jax.lax.scan(
             scan_body, state0, None, length=n_iter
         )
         rad_out = rad_out.reshape(n_iter, 3, r).transpose(0, 2, 1)
-        film = jnp.zeros((n_items, 3), jnp.float32).at[
-            idx_out.reshape(-1)
+        film = jnp.zeros((n_pix + r, 3), jnp.float32).at[
+            slot_out.reshape(-1)
         ].add(rad_out.reshape(-1, 3))
         n_rays = state[1]
     else:
+        flush_every = max(1, spp)
+
+        def do_flush(film, pend_slot, pend_rad):
+            # Index set is unique by construction: real slots are owned by
+            # exactly one lane; dummies are n_pix + lane.
+            film = film.at[pend_slot].add(pend_rad, unique_indices=True)
+            return film, dummy_slot
+
         def cond(carry):
-            state, film = carry
+            i, state, film = carry
             q, active = state[0], state[2]
-            return (q < n_items) | jnp.any(active)
+            return (q < n_pix) | jnp.any(active)
 
         def body(carry):
-            state, film = carry
-            state, done_rad, film_idx = step(state)
-            # Per-lane item ids are unique by construction (non-retiring
-            # lanes add zeros at their own item), letting the scatter skip
-            # TPU's slow duplicate-combining path.
-            film = film.at[film_idx].add(done_rad, unique_indices=True)
-            return state, film
+            i, state, film = carry
+            state, _, _ = step(state)
+            film, pend_slot = jax.lax.cond(
+                (i + 1) % flush_every == 0,
+                do_flush,
+                lambda f, ps, pr: (f, ps),
+                film, state[18], state[23],
+            )
+            state = state[:18] + (pend_slot,) + state[19:]
+            return i + 1, state, film
 
-        state, film = jax.lax.while_loop(
-            cond, body, (state0, jnp.zeros((n_items, 3), jnp.float32))
+        _, state, film = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), state0, jnp.zeros((n_pix + r, 3), jnp.float32)),
         )
+        # Drain pendings staged since the last cadence boundary.
+        film, _ = do_flush(film, state[18], state[23])
         n_rays = state[1]
-    film = film.reshape(spp, n_pix, 3).sum(axis=0)
-    return film / spp, n_rays
+    return film[:n_pix] / spp, n_rays
 
 
 def render_pixels(
