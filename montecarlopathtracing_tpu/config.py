@@ -39,6 +39,17 @@ class CompatOptions:
     # (cos_theta_hat AND kd_dots). False => single cosine (physically correct).
     double_receiver_cosine: bool = True
 
+    # Quirk 4 (MTPC/pathTracing.cpp:185): the light-pick distribution is a
+    # function-local ``static uniform_real_distribution(0, total_aera)`` —
+    # its range freezes at the FIRST light's total area forever.  With
+    # multiple lights of different areas (veach-mis spans 0.011..10.06) the
+    # draw covers only [0, A_first) of each light's parse-order area CDF, so
+    # larger lights are sampled only in their first few faces while still
+    # weighted by their FULL area; if A_first exceeds a light's area, the
+    # stale previous sample point/material is reused (the loop never picks).
+    # False => each light's own area (unbiased pick).
+    frozen_light_pick: bool = True
+
     # Quirk 5 (MTPC/pathTracing.cpp:206-215): shadow-ray visibility decided by
     # material-id equality of nearest hit vs the sampled light triangle.
     # False => occlusion decided by comparing hit distance to light distance.
@@ -121,6 +132,7 @@ MODERN = CompatOptions(
     simplex_light_sampling=False,
     clamp_light_distance=False,
     double_receiver_cosine=False,
+    frozen_light_pick=False,
     material_equality_visibility=False,
     plane_sign_triangle_test=False,
     hardcoded_morton_bounds=False,

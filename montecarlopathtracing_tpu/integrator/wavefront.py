@@ -326,22 +326,34 @@ def _gather_hit(scene, opts, origin, direction, t, tri):
     return p, pn, matf, kd
 
 
-def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
-    """Next-event estimation, reference semantics (MTPC/pathTracing.cpp:165-232).
+def _nee_prep(scene, opts: RenderOptions, p, pn, kd, u, alive):
+    """Per-light NEE shadow rays and (visibility-independent) contribution
+    values — the sampling/geometry half of the reference's direct-lighting
+    loop (MTPC/pathTracing.cpp:165-232, minus the ray_intersect at :206-212).
 
-    One area sample per light; diffuse term only; visibility by material
-    equality (quirk #5); inverse-square clamp dist=max(1,d) (quirk #3); the
-    receiver cosine enters twice in compat mode (:220-228).
+    Returns (so (L,R,3), dirn (L,R,3), contrib (L,R,3), ok (L,R), dist (L,R)):
+    origin/direction of each light's shadow ray (dead/black-kd lanes parked at
+    1e9 so the cluster kernel sees empty candidate lists), the contribution
+    that applies IF the visibility test passes, the non-visibility accept
+    mask, and the real light distance (modern-mode visibility).
     """
     compat = opts.compat
-    num_lights = scene.num_lights
-    l_dir = jnp.zeros_like(kd)
-    pn_len = jnp.linalg.norm(pn, axis=-1)
     tab, _ = _shading_tables(scene)  # once, not per light
-    for li in range(num_lights):
+    pn_len = jnp.linalg.norm(pn, axis=-1)
+    pick_total = scene.light_total_area[0] if compat.frozen_light_pick else None
+    # Quirk #4 fall-through state: a not-found pick silently reuses the
+    # previous light's sample point/normal/material (initially a zero Face —
+    # material id -1 never matches, so visibility kills the term).
+    prev_xl = jnp.zeros_like(p)
+    prev_vnl = jnp.zeros_like(p)
+    prev_mat = jnp.full(p.shape[:1], -1, jnp.int32)
+    so_l, dirn_l, contrib_l, ok_l, dist_l, smat_l = [], [], [], [], [], []
+    for li in range(scene.num_lights):
         base = rng.N_BASE_SLOTS + 4 * li
         u_pick, u1, u2, u3 = u[:, base], u[:, base + 1], u[:, base + 2], u[:, base + 3]
-        j = pick_light_face(scene.light_face_cum_area[li], scene.light_total_area[li], u_pick)
+        j, found = pick_light_face(scene.light_face_cum_area[li],
+                                   scene.light_total_area[li], u_pick,
+                                   pick_total)
         tri = _gather_i32(scene.light_face_tri[li], j)
         lrow = tab[tri]  # one row gather for the light triangle's fields
         xl, vnl = sample_triangle_point(
@@ -349,24 +361,15 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
             lrow[:, 9:12], lrow[:, 12:15], lrow[:, 15:18],
             u1, u2, u3, simplex=compat.simplex_light_sampling,
         )
+        xl = jnp.where(found[:, None], xl, prev_xl)
+        vnl = jnp.where(found[:, None], vnl, prev_vnl)
+        smat = jnp.where(found, scene.light_mat[li], prev_mat)
+        prev_xl, prev_vnl, prev_mat = xl, vnl, smat
         delta = xl - p
         dist_real = jnp.linalg.norm(delta, axis=-1)
         dirn = delta / jnp.maximum(dist_real, 1e-30)[:, None]
-
-        # Shadow ray with the same +0.01 origin nudge (:208) and a FULL
-        # nearest-hit query, exactly like the reference (no early-out any-hit).
-        # Dead lanes — and lanes whose kd is exactly black (pure specular /
-        # glass), whose NEE contribution is identically zero — are parked far
-        # outside every scene so the cluster kernel sees empty candidate
-        # lists for them (free after wavefront sorting).
         lit = alive & jnp.any(kd != 0, axis=-1)
         so = jnp.where(lit[:, None], p + dirn * opts.ray_epsilon, 1e9)
-        hit_s, t_s, tri_s = intersect_any(scene, bvh, so, dirn, opts)
-        if compat.material_equality_visibility:
-            m_s = _gather_i32(scene.mat_id, jnp.maximum(tri_s, 0))
-            vis = hit_s & (m_s == scene.light_mat[li])
-        else:
-            vis = (~hit_s) | (t_s + opts.ray_epsilon >= dist_real - 1e-3)
 
         cos_l = jnp.abs(jnp.sum(dirn * normalize(vnl), axis=-1))
         kd_dots = jnp.sum(dirn * pn, axis=-1)
@@ -379,10 +382,53 @@ def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
         else:
             cos_r = kd_dots / jnp.maximum(pn_len, 1e-30)
             geom = cos_l * jnp.maximum(cos_r, 0.0) / (dist * dist) * area
-        ok = alive & vis & (kd_dots > 0)
+        ok = alive & (kd_dots > 0)
         contrib = kd * rad[None, :] * (geom / PI)[:, None]
-        l_dir = l_dir + jnp.where(ok[:, None], contrib, 0.0)
+        so_l.append(so); dirn_l.append(dirn); contrib_l.append(contrib)
+        ok_l.append(ok); dist_l.append(dist_real); smat_l.append(smat)
+    stk = lambda xs: jnp.stack(xs, axis=0)
+    return (stk(so_l), stk(dirn_l), stk(contrib_l), stk(ok_l), stk(dist_l),
+            stk(smat_l))
+
+
+def _nee_resolve(scene, opts: RenderOptions, contrib, ok, dist_real, smat,
+                 hit_s, t_s, tri_s):
+    """Visibility half of NEE: combine the per-light shadow results
+    ((L,R) each) with the prepped contributions.  Returns (R,3) direct light.
+    smat: (L,R) sampled-face material id (can be a PREVIOUS light's under
+    quirk #4 fall-through; the reference compares the HIT's material against
+    sample_face.material, MTPC/pathTracing.cpp:77).
+    """
+    compat = opts.compat
+    l_dir = 0.0
+    for li in range(scene.num_lights):
+        if compat.material_equality_visibility:
+            m_s = _gather_i32(scene.mat_id, jnp.maximum(tri_s[li], 0))
+            vis = hit_s[li] & (m_s == smat[li])
+        else:
+            vis = (~hit_s[li]) | (t_s[li] + opts.ray_epsilon >= dist_real[li] - 1e-3)
+        l_dir = l_dir + jnp.where((ok[li] & vis)[:, None], contrib[li], 0.0)
     return l_dir
+
+
+def _nee_direct(scene, bvh, opts: RenderOptions, p, pn, kd, u, alive):
+    """Next-event estimation, reference semantics (MTPC/pathTracing.cpp:165-232).
+
+    One area sample per light; diffuse term only; visibility by material
+    equality (quirk #5); inverse-square clamp dist=max(1,d) (quirk #3); the
+    receiver cosine enters twice in compat mode (:220-228).
+    """
+    so, dirn, contrib, ok, dist, smat = _nee_prep(scene, opts, p, pn, kd, u,
+                                                  alive)
+    # Shadow rays with the same +0.01 origin nudge (:208) and a FULL
+    # nearest-hit query, exactly like the reference (no early-out any-hit);
+    # dead / black-kd lanes arrive parked from _nee_prep.
+    hs, ts, tris = [], [], []
+    for li in range(scene.num_lights):
+        h, t_s, tr = intersect_any(scene, bvh, so[li], dirn[li], opts)
+        hs.append(h); ts.append(t_s); tris.append(tr)
+    return _nee_resolve(scene, opts, contrib, ok, dist, smat,
+                        jnp.stack(hs), jnp.stack(ts), jnp.stack(tris))
 
 
 def _next_ray(scene, opts: RenderOptions, p, pn, matf, kd, incoming, u):
@@ -661,36 +707,38 @@ def render_pixels_refill(
         """One wavefront iteration sans film writes: returns (state',
         flush_rad (r,3), flush_slot (r,)) — the pixel sums completed THIS
         iteration (zeros / unique dummy slots elsewhere), which the caller
-        either stages (forward, flushed every spp iterations) or stacks
-        (differentiable scan, scattered once at the end)."""
+        either stages (forward, flushed on a cadence) or stacks
+        (differentiable scan, scattered once at the end).
+
+        Pipeline shape: the lane's ARRIVAL (hit, t, tri) is carried in from
+        the previous iteration's combined intersect.  This step shades it,
+        builds the NEE shadow rays AND the next segment's rays, sorts the
+        wavefront, then issues ONE combined intersect over
+        [next arrivals; all lights' shadow rays] — (1+L)*r rays — and
+        resolves NEE visibility from the shadow part in the same iteration.
+        One call per iteration instead of 1+L pays the candidate-phase fixed
+        cost (~1.2 ms at 64k lanes) once.
+        """
         (q, n_rays, active, slot, pix, samp, samp_left, keys, depth, kind,
-         need_isect, hit_c, t_c, tri_c, prim_ok, prim_hit, prim_t, prim_tri,
+         was_fresh, hit_a, t_a, tri_a, prim_ok, prim_hit, prim_t, prim_tri,
          pend_slot, *fvec) = state
         origin, direction, beta, rad, pend_rad = unpack_f(tuple(fvec))
 
-        # --- Traversal: only lanes without a cached arrival; parked rays
-        # (origin 1e9) present empty candidate lists to the cluster kernel.
-        trav = active & need_isect
-        o_park = jnp.where(trav[:, None], origin, 1e9)
-        hit_q, t_q, tri_q = intersect_any(scene, bvh, o_park, direction, opts)
-        hit = jnp.where(need_isect, hit_q, hit_c)
-        t = jnp.where(need_isect, t_q, t_c)
-        tri = jnp.where(need_isect, tri_q, tri_c)
         # n_rays counts estimator-level segments (what the reference would
         # cast); cached primaries are memoized, not skipped, estimator-wise.
         n_rays = n_rays + jnp.sum(active)
 
         # Cache the pixel's first-sample primary hit for reuse.
         is_prim = kind == KIND_PRIMARY
-        fresh_prim = trav & is_prim
-        prim_hit = jnp.where(fresh_prim, hit, prim_hit)
-        prim_t = jnp.where(fresh_prim, t, prim_t)
-        prim_tri = jnp.where(fresh_prim, tri, prim_tri)
+        fresh_prim = active & was_fresh & is_prim
+        prim_hit = jnp.where(fresh_prim, hit_a, prim_hit)
+        prim_t = jnp.where(fresh_prim, t_a, prim_t)
+        prim_tri = jnp.where(fresh_prim, tri_a, prim_tri)
         prim_ok = prim_ok | fresh_prim
 
         # One packed row gather serves both the arrival logic and shading.
-        p, pn, matf, kd = _gather_hit(scene, opts, origin, direction, t, tri)
-        emit = hit & (matf[:, _MF_IS_EMITTER] > 0)
+        p, pn, matf, kd = _gather_hit(scene, opts, origin, direction, t_a, tri_a)
+        emit = hit_a & (matf[:, _MF_IS_EMITTER] > 0)
         emission = matf[:, _MF_EMIT]
         # Emitter-hit terms: primary returns the light radiance
         # (MTPC/pathTracing.cpp:141-144); SPECULAR/TRANSMISSION bounces see
@@ -700,15 +748,16 @@ def render_pixels_refill(
         add_spec = active & ~is_prim & emit & (kind != RAY_DIFFUSE)
         rad = rad + jnp.where(add_spec[:, None], beta * emission, 0.0)
 
-        shade = active & hit & ~emit & (depth < opts.max_depth)
+        shade = active & hit_a & ~emit & (depth < opts.max_depth)
         sample_done = active & ~shade
 
         u = rng.bounce_uniforms(keys, depth, n_slots)
-        rad = rad + jnp.where(
-            shade[:, None],
-            beta * _nee_direct(scene, bvh, opts, p, pn, kd, u, shade),
-            0.0,
-        )
+        # NEE sampling/geometry; visibility resolves after the combined call.
+        # The contribution is scaled by the PRE-RR-update beta here so it
+        # needs no separate carry through the sort.
+        so_s, dirn_s, contrib, ok_n, dist_n, smat_n = _nee_prep(
+            scene, opts, p, pn, kd, u, shade)
+        contrib = contrib * beta[None]
         cont = shade & (u[:, 0] < opts.rr_probability)
         new_o, new_d, rtype, weight = _next_ray(
             scene, opts, p, pn, matf, kd, direction, u
@@ -721,92 +770,129 @@ def render_pixels_refill(
         pixel_done = sample_done & (samp_left <= 0)
         next_samp = sample_done & (samp_left > 0)
 
-        # Next sample of the SAME pixel: fresh keys, depth 0; under compat
-        # the cached primary hit replaces traversal (reuse_primary).
-        samp2 = samp + 1
-        keys_same = rng.lane_keys(opts.seed, pix, samp2)
-        o_same, d_same = primary_for(pix, keys_same)
-        reuse = next_samp & prim_ok if reuse_primary else jnp.zeros_like(next_samp)
-
-        # New pixel from the queue (rank-compacted among completing lanes).
+        # Next sample of the SAME pixel and/or next pixel from the queue:
+        # merged into ONE key-derivation + camera evaluation.
         rank = jnp.cumsum(pixel_done.astype(jnp.int32)) - 1
         new_slot = q + rank
         take = pixel_done & (new_slot < n_pix)
+        # The completed pixel's film slot, captured BEFORE the lane moves on
+        # to its next queue slot (staged after the NEE resolve below).
+        slot_done = jnp.where(pixel_done, slot, dummy_slot)
         pix_new = _gather_i32(pixel_ids, jnp.minimum(new_slot, n_pix - 1))
-        keys_new = rng.lane_keys(opts.seed, pix_new, jnp.asarray(sample_offset))
-        o_new, d_new = primary_for(pix_new, keys_new)
-
-        # Flush outputs (pre-sort) for the differentiable scan path; the
-        # forward path instead stages into the pend registers just below.
-        flush_slot = jnp.where(pixel_done, slot, dummy_slot)
-        flush_rad = jnp.where(pixel_done[:, None], rad, 0.0)
-        # Stage completed pixel sums in lane registers (they ride the sort
-        # with their owning lane); flushed before this lane can complete
-        # another pixel (>= spp iterations away).
-        pend_slot = jnp.where(pixel_done, slot, pend_slot)
-        pend_rad = jnp.where(pixel_done[:, None], rad, pend_rad)
-
         restart = next_samp | take
+        pix2 = jnp.where(take, pix_new, pix)
+        samp2 = jnp.where(take, jnp.asarray(sample_offset),
+                          jnp.where(next_samp, samp + 1, samp))
+        keys2 = rng.lane_keys(opts.seed, pix2, samp2)
+        o_prim, d_prim = primary_for(pix2, keys2)
+        # Under compat the cached primary hit replaces traversal for repeat
+        # samples of the same pixel (quirk #1: identical primaries).
+        reuse = next_samp & prim_ok if reuse_primary else jnp.zeros_like(next_samp)
+
         active = (active & ~sample_done) | restart
         slot = jnp.where(take, new_slot, slot)
-        pix = jnp.where(take, pix_new, pix)
-        samp = jnp.where(take, jnp.asarray(sample_offset), jnp.where(next_samp, samp2, samp))
+        pix = pix2
+        samp = samp2
         samp_left = jnp.where(take, spp - 1,
                               jnp.where(next_samp, samp_left - 1, samp_left))
-        keys = jnp.where(take[:, None], keys_new,
-                         jnp.where(next_samp[:, None], keys_same, keys))
+        keys = jnp.where(restart[:, None], keys2, keys)
         depth = jnp.where(restart, 0, depth + cont.astype(jnp.int32))
         kind = jnp.where(restart, KIND_PRIMARY, jnp.where(cont, rtype, kind))
-        origin = jnp.where(take[:, None], o_new,
-                           jnp.where(next_samp[:, None], o_same,
-                                     jnp.where(cont[:, None], new_o, origin)))
-        direction = jnp.where(take[:, None], d_new,
-                              jnp.where(next_samp[:, None], d_same,
-                                        jnp.where(cont[:, None], new_d, direction)))
+        origin = jnp.where(restart[:, None], o_prim,
+                           jnp.where(cont[:, None], new_o, origin))
+        direction = jnp.where(restart[:, None], d_prim,
+                              jnp.where(cont[:, None], new_d, direction))
         beta = jnp.where(restart[:, None], 1.0, beta)
-        rad = jnp.where(take[:, None], 0.0, rad)  # next_samp keeps the sum
         prim_ok = prim_ok & ~take
-        need_isect = jnp.where(reuse, False, jnp.ones_like(need_isect))
-        hit_c = jnp.where(reuse, prim_hit, hit_c)
-        t_c = jnp.where(reuse, prim_t, t_c)
-        tri_c = jnp.where(reuse, prim_tri, tri_c)
+        was_fresh = active & ~reuse
         q = q + jnp.sum(take)
 
         if do_sort:
-            # Coherence grouping: bounce segments by (origin cluster, new
-            # direction octant); camera segments share one bucket.
+            # Coherence grouping for the UPCOMING combined call: bounce
+            # segments by (origin cluster, new direction octant); camera
+            # segments share one bucket; cached/inactive lanes park at the
+            # end.  Shadow rays inherit their lane's position, so they sort
+            # coherently too (origins cluster with the bounce origins).
             w = opts.cluster_width
-            cluster = (jnp.maximum(tri, 0) >> (w.bit_length() - 1)
-                       if w & (w - 1) == 0 else jnp.maximum(tri, 0) // w)
+            cluster = (jnp.maximum(tri_a, 0) >> (w.bit_length() - 1)
+                       if w & (w - 1) == 0 else jnp.maximum(tri_a, 0) // w)
             octant = (
                 (direction[:, 0] > 0).astype(jnp.int32) * 4
                 + (direction[:, 1] > 0).astype(jnp.int32) * 2
                 + (direction[:, 2] > 0).astype(jnp.int32)
             )
             bucket = jnp.where(kind == KIND_PRIMARY, jnp.int32(1 << 20), cluster)
-            sort_key = jnp.where(active & need_isect, bucket * 8 + octant,
+            sort_key = jnp.where(active & was_fresh, bucket * 8 + octant,
                                  jnp.where(active, jnp.int32(1 << 24),
                                            jnp.int32(2 ** 30)))
             perm = jnp.argsort(sort_key)
-            (origin, direction, beta, rad, pend_rad, f_pack), \
+            l = num_lights
+            (origin, direction, beta, rad, pend_rad, f_pack, so_p, dn_p,
+             ct_p), \
                 (slot, pix, samp, samp_left, keys, depth, kind, active,
-                 need_isect, hit_c, tri_c, prim_ok, prim_hit, prim_tri,
-                 pend_slot) = _permute_rows(
+                 was_fresh, prim_ok, prim_hit, prim_tri, pend_slot,
+                 shade, take, pixel_done, slot_done, ok_p, smat_p) = _permute_rows(
                     perm,
                     (origin, direction, beta, rad, pend_rad,
-                     jnp.stack([t_c, prim_t], axis=1)),
+                     jnp.stack([prim_t] + [dist_n[i] for i in range(l)],
+                               axis=1),
+                     so_s.transpose(1, 0, 2).reshape(r, 3 * l),
+                     dirn_s.transpose(1, 0, 2).reshape(r, 3 * l),
+                     contrib.transpose(1, 0, 2).reshape(r, 3 * l)),
                     (slot, pix, samp, samp_left, keys, depth, kind, active,
-                     need_isect, hit_c, tri_c, prim_ok, prim_hit, prim_tri,
-                     pend_slot),
+                     was_fresh, prim_ok, prim_hit, prim_tri, pend_slot,
+                     shade, take, pixel_done, slot_done,
+                     ok_n.T.astype(jnp.int32) if l > 1 else ok_n[0],
+                     smat_n.T if l > 1 else smat_n[0]),
                 )
-            t_c, prim_t = f_pack[:, 0], f_pack[:, 1]
-            # flush outputs are consumed pre-sort; nothing else to fix up.
+            prim_t = f_pack[:, 0]
+            dist_n = f_pack[:, 1:].T
+            so_s = so_p.reshape(r, l, 3).transpose(1, 0, 2)
+            dirn_s = dn_p.reshape(r, l, 3).transpose(1, 0, 2)
+            contrib = ct_p.reshape(r, l, 3).transpose(1, 0, 2)
+            ok_n = (ok_p.T != 0) if l > 1 else ok_p[None]
+            smat_n = smat_p.T if l > 1 else smat_p[None]
+
+        # --- ONE combined intersect: next arrivals + all shadow rays.
+        ray_o = jnp.where((active & was_fresh)[:, None], origin, 1e9)
+        all_o = jnp.concatenate([ray_o] + [so_s[i] for i in range(num_lights)])
+        all_d = jnp.concatenate([direction] + [dirn_s[i] for i in range(num_lights)])
+        hit_q, t_q, tri_q = intersect_any(scene, bvh, all_o, all_d, opts)
+        hit2, t2, tri2 = hit_q[:r], t_q[:r], tri_q[:r]
+        hs = hit_q[r:].reshape(num_lights, r)
+        ts = t_q[r:].reshape(num_lights, r)
+        tris = tri_q[r:].reshape(num_lights, r)
+
+        # NEE visibility resolution (same iteration, post-call).
+        l_dir = _nee_resolve(scene, opts, contrib, ok_n, dist_n, smat_n,
+                             hs, ts, tris)
+        rad = rad + jnp.where(shade[:, None], l_dir, 0.0)
+
+        # Flush outputs for the differentiable scan path; the forward path
+        # instead stages into the pend registers just below.
+        flush_slot = slot_done
+        flush_rad = jnp.where(pixel_done[:, None], rad, 0.0)
+        # Stage completed pixel sums in lane registers; flushed before this
+        # lane can complete another pixel (>= spp iterations away).
+        pend_slot = jnp.where(pixel_done, slot_done, pend_slot)
+        pend_rad = jnp.where(pixel_done[:, None], rad, pend_rad)
+        rad = jnp.where(take[:, None], 0.0, rad)  # next_samp keeps the sum
+
+        # Arrival carry for the next iteration: fresh traversal results, or
+        # the cached primary hit for reuse lanes.
+        hit_a = jnp.where(was_fresh, hit2, prim_hit)
+        t_a = jnp.where(was_fresh, t2, prim_t)
+        tri_a = jnp.where(was_fresh, tri2, prim_tri)
 
         return ((q, n_rays, active, slot, pix, samp, samp_left, keys, depth,
-                 kind, need_isect, hit_c, t_c, tri_c, prim_ok, prim_hit,
+                 kind, was_fresh, hit_a, t_a, tri_a, prim_ok, prim_hit,
                  prim_t, prim_tri, pend_slot)
                 + pack_f(origin, direction, beta, rad, pend_rad),
                 flush_rad, flush_slot)
+
+    # Bootstrap: the loop carries each lane's arrival, so the first batch of
+    # primaries is intersected once up front.
+    hit0, t0, tri0 = intersect_any(scene, bvh, o0, d0, opts)
 
     state0 = (
         jnp.int32(r),                      # q: first r pixel slots issued below
@@ -819,10 +905,10 @@ def render_pixels_refill(
         keys0,
         jnp.zeros((r,), jnp.int32),        # depth
         jnp.full((r,), KIND_PRIMARY, jnp.int32),
-        jnp.ones((r,), bool),              # need_isect
-        jnp.zeros((r,), bool),             # hit_c
-        jnp.zeros((r,), jnp.float32),      # t_c
-        jnp.zeros((r,), jnp.int32),        # tri_c
+        jnp.ones((r,), bool),              # was_fresh
+        hit0,                              # hit_a
+        t0,                                # t_a
+        tri0,                              # tri_a
         jnp.zeros((r,), bool),             # prim_ok
         jnp.zeros((r,), bool),             # prim_hit
         jnp.zeros((r,), jnp.float32),      # prim_t

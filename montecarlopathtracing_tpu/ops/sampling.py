@@ -94,18 +94,25 @@ def refract_dir(incoming, normal, eta):
     return ok, d
 
 
-def pick_light_face(cum_area, total_area, u):
+def pick_light_face(cum_area, total_area, u, pick_total=None):
     """Area-weighted CDF pick within one light (MTPC/pathTracing.cpp:177-200).
 
-    cum_area: (F,) cumulative face areas for this light; u: (R,) uniforms.
-    Returns (R,) int32 index into the light's face list.  Unlike the
-    reference's frozen-``static`` distribution (quirk #4 — biased for scenes
-    with multiple lights of different areas), the draw spans this light's own
-    total area.
+    cum_area: (F,) cumulative face areas for this light (PARSE order, see
+    scene/loader.py); u: (R,) uniforms.  ``pick_total`` is the draw's range:
+    None uses this light's own area (unbiased); compat quirk #4 passes the
+    scene's FIRST light's total area, reproducing the reference's frozen
+    ``static uniform_real_distribution(0, total_aera)`` (:185) — biased for
+    multi-light scenes with unequal areas.
+
+    Returns ((R,) int32 face index, (R,) bool found).  found=False means the
+    draw exceeded this light's CDF (possible when pick_total > total_area):
+    the reference's pick loop then falls through, silently reusing the
+    previous light's sample point/material (:53-64).
     """
-    rnd = u * total_area
+    rnd = u * (total_area if pick_total is None else pick_total)
     j = jnp.searchsorted(cum_area, rnd, side="right")
-    return jnp.clip(j, 0, cum_area.shape[0] - 1).astype(jnp.int32)
+    found = rnd < total_area
+    return jnp.clip(j, 0, cum_area.shape[0] - 1).astype(jnp.int32), found
 
 
 def sample_triangle_point(v0, v1, v2, n0, n1, n2, u1, u2, u3, simplex: bool):

@@ -192,9 +192,18 @@ def _trace(s, opts, keys, o, d, n_slots, num_lights):
         # --- NEE (shade :165-232) ---
         l_dir = np.zeros((r_count, 3))
         pn_len = np.linalg.norm(pn, axis=-1)
+        # Quirk #4 (compat): the pick range is frozen at the FIRST light's
+        # total area; a draw past a light's own CDF silently reuses the
+        # previous light's sample point/normal/material (zero Face initially).
+        prev_xl = np.zeros((r_count, 3))
+        prev_vnl = np.zeros((r_count, 3))
+        prev_mat = np.full(r_count, -1, np.int32)
         for li in range(num_lights):
             base = rng.N_BASE_SLOTS + 4 * li
-            rnd = u[:, base] * s["light_total"][li]
+            pick_total = s["light_total"][0] if compat.frozen_light_pick \
+                else s["light_total"][li]
+            rnd = u[:, base] * pick_total
+            found = rnd < s["light_total"][li]
             j = np.clip(np.searchsorted(s["light_face_cum"][li], rnd, side="right"),
                         0, s["light_face_cum"].shape[1] - 1)
             ltri = s["light_face_tri"][li][j]
@@ -209,13 +218,17 @@ def _trace(s, opts, keys, o, d, n_slots, num_lights):
                   + s["v2"][ltri] * w2[:, None])
             vnl = (s["n0"][ltri] * w0[:, None] + s["n1"][ltri] * w1[:, None]
                    + s["n2"][ltri] * w2[:, None])
+            xl = np.where(found[:, None], xl, prev_xl)
+            vnl = np.where(found[:, None], vnl, prev_vnl)
+            smat = np.where(found, s["light_mat"][li], prev_mat)
+            prev_xl, prev_vnl, prev_mat = xl, vnl, smat
             delta = xl - p
             dist_real = np.linalg.norm(delta, axis=-1)
             dirn = delta / np.maximum(dist_real, 1e-300)[:, None]
             so = p + dirn * opts.ray_epsilon
             hs, ts, tris = _intersect_brute(s, so, dirn, tri_compat)
             if compat.material_equality_visibility:
-                vis = hs & (s["mat_id"][np.maximum(tris, 0)] == s["light_mat"][li])
+                vis = hs & (s["mat_id"][np.maximum(tris, 0)] == smat)
             else:  # distance-based (wavefront._nee_direct modern branch)
                 vis = (~hs) | (ts + opts.ray_epsilon >= dist_real - 1e-3)
             cos_l = np.abs(np.einsum("rd,rd->r", dirn, _norm(vnl)))

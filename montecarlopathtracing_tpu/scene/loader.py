@@ -337,6 +337,12 @@ def build_scene(
     per_light_faces: List[np.ndarray] = []
     for li in range(num_lights):
         idx = np.nonzero(f_mat == light_mat[li])[0]
+        # PARSE-order CDF: the reference walks material_map[name]->f, filled
+        # during read_obj BEFORE the Morton sort (MTPC/sceneManagement.cpp:
+        # 182 vs MTPC/MTPC.cpp:44) — with the frozen-range pick (quirk #4)
+        # only the first [0, A_first) of this ordering is ever sampled, so
+        # the ordering is observable.
+        idx = idx[np.argsort(order[idx], kind="stable")]
         per_light_faces.append(idx)
         fmax = max(fmax, len(idx))
     light_face_tri = np.zeros((max(num_lights, 1), fmax), np.int32)
