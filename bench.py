@@ -1,10 +1,25 @@
 """Benchmark: cornell-box rays/s on the current backend (TPU when available).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline: BASELINE.json's north star is >1e9 rays/s fwd+bwd on a v5e-16, i.e.
 6.25e7 rays/s/chip; vs_baseline = measured fwd+bwd rays/s/chip / 6.25e7.
-The reference itself publishes no throughput numbers (SURVEY.md §6).
+The reference itself publishes no throughput numbers (SURVEY.md §6); for
+scale: the reference binary compiled by tools/refbin renders cornell-box at
+~1.6e5 rays/s/thread on this host's CPU.
+
+Forward and forward+backward run at MATCHED estimator configs (same scene,
+spp, max_depth 32, same renderer architecture); the backward accumulates
+gradients over spp chunks (each a separate dispatch, summed on device) so
+single-dispatch wall time stays under the tunneled-TPU watchdog.
+
+Hardware-model context emitted alongside the headline:
+* ``est_vpu_util`` — measured intersection-test throughput against a VPU
+  roofline: tests/s x FLOPS_PER_TEST / VPU_PEAK_F32.  FLOPS_PER_TEST models
+  the cluster kernel's dense panel work per candidate (cluster, subtile)
+  pair: tile(64) x width(32) x ~34 f32 ops for the compat plane+sign test.
+  Candidate counts are measured (kernels.cluster.candidate_stats), not
+  assumed.  VPU_PEAK_F32 = 2e12 is a stated model constant for one v5e core.
 
 Each phase (forward render, gradient render) runs in its OWN subprocess: the
 tunneled axon TPU occasionally wedges a process's device state after several
@@ -21,16 +36,18 @@ import sys
 import time
 
 PER_CHIP_TARGET = 1e9 / 16  # rays/s/chip, from BASELINE.json north star
+VPU_PEAK_F32 = 2.0e12       # model constant: one v5e core's vector f32 peak
+FLOPS_PER_TEST_PANEL = 64 * 32 * 34  # tile x width x ops (see module doc)
 
-_FWD_PHASE = r"""
-import json, time, sys
+_COMMON = r"""
+import json, time, sys, os
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import montecarlopathtracing_tpu as m
 from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
 from montecarlopathtracing_tpu.config import RenderOptions
-from montecarlopathtracing_tpu.integrator.wavefront import render_image_host_chunked
 from montecarlopathtracing_tpu.scene.builtin import load_builtin_box
-import os
 cfg = json.loads(sys.argv[1])
 if os.path.isdir(cfg["scene_dir"]):
     scene, meta = m.load_scene(cfg["scene_dir"], cfg["scene"])
@@ -38,7 +55,12 @@ else:
     scene, meta = load_builtin_box(width=1024, height=1024)
 bvh = jax.jit(build_lbvh)(scene)
 jax.block_until_ready(bvh.node_min)
-opts = RenderOptions(spp=cfg["spp"], chunk_size=cfg["chunk"], spp_chunk=cfg["spp_chunk"])
+"""
+
+_FWD_PHASE = _COMMON + r"""
+from montecarlopathtracing_tpu.integrator.wavefront import render_image_host_chunked
+opts = RenderOptions(spp=cfg["spp"], max_depth=32, chunk_size=cfg["chunk"],
+                     spp_chunk=cfg["spp_chunk"])
 render_image_host_chunked(scene, bvh, opts)  # warm up / compile
 t0 = time.perf_counter()
 img, n_rays = render_image_host_chunked(scene, bvh, opts)
@@ -49,35 +71,44 @@ print("RESULT " + json.dumps({
 }))
 """
 
-_BWD_PHASE = r"""
-import json, time, sys
-import jax
-import montecarlopathtracing_tpu as m
-from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
-from montecarlopathtracing_tpu.config import RenderOptions
-from montecarlopathtracing_tpu.diff.gradients import SceneParams, render_with_params
+_BWD_PHASE = _COMMON + r"""
+from montecarlopathtracing_tpu.diff.gradients import SceneParams, apply_params
 from montecarlopathtracing_tpu.integrator.wavefront import render_image_stats
-from montecarlopathtracing_tpu.scene.builtin import load_builtin_box
-import os
-cfg = json.loads(sys.argv[1])
-if os.path.isdir(cfg["scene_dir"]):
-    scene, meta = m.load_scene(cfg["scene_dir"], cfg["scene"])
-else:
-    scene, meta = load_builtin_box(width=1024, height=1024)
-bvh = jax.jit(build_lbvh)(scene)
-jax.block_until_ready(bvh.node_min)
-opts_b = RenderOptions(spp=cfg["spp_bwd"], max_depth=8, chunk_size=cfg["chunk"])
+
+# Matched config: same spp/max_depth as forward; gradient accumulated over
+# spp chunks (d mean(render[0..spp]) = mean of chunk gradients).
+spp_chunk = cfg["spp_chunk"]
+opts = RenderOptions(spp=spp_chunk, max_depth=32, chunk_size=cfg["chunk"])
 params = SceneParams.from_scene(scene)
-def loss(p):
-    return render_with_params(p, scene, bvh, opts_b).mean()
-gfn = jax.jit(jax.grad(loss))
-g = gfn(params); jax.block_until_ready(g.kd)  # compile
-_, rays_b = render_image_stats(scene, bvh, opts_b, differentiable=True)
-rays_b = float(rays_b)
+
+def chunk_loss(p, off):
+    img, nr = render_image_stats(apply_params(scene, p), bvh, opts,
+                                 differentiable=True, sample_offset=off)
+    return img.mean(), nr
+
+gfn = jax.jit(jax.value_and_grad(lambda p, off: chunk_loss(p, off)[0]))
+rays_fn = jax.jit(lambda p, off: chunk_loss(p, off)[1])
+_, g = gfn(params, 0)
+jax.block_until_ready(g.kd)  # compile
+rays_c = float(rays_fn(params, 0))
+
+n_chunks = max(1, cfg["spp"] // spp_chunk)
 t0 = time.perf_counter()
-g = gfn(params); jax.block_until_ready(g.kd)
+acc = None
+for k in range(n_chunks):
+    _, g = gfn(params, 1 + k * spp_chunk)
+    acc = g if acc is None else jax.tree_util.tree_map(lambda a, b: a + b, acc, g)
+jax.block_until_ready(acc.kd)
 dt = time.perf_counter() - t0
-print("RESULT " + json.dumps({"rays": rays_b, "seconds": dt}))
+print("RESULT " + json.dumps({"rays": rays_c * n_chunks, "seconds": dt}))
+"""
+
+_STATS_PHASE = _COMMON + r"""
+# Measured intersection-test statistics for the roofline estimate: candidate
+# (cluster, subtile) pairs per estimator ray on real sorted wavefronts.
+from montecarlopathtracing_tpu.kernels.cluster import candidate_stats
+print("RESULT " + json.dumps(candidate_stats(scene, RenderOptions(
+    spp=2, max_depth=32, chunk_size=cfg["chunk"]), bvh)))
 """
 
 
@@ -87,13 +118,13 @@ def _run_phase(code: str, cfg: dict, attempts: int = 2) -> dict:
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", code, json.dumps(cfg)],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=1750,
             )
             out, err = proc.stdout, proc.stderr
         except subprocess.TimeoutExpired as e:  # hung device counts as a failed attempt
             out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
             err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
-            err += "\n[phase timed out after 1800s]"
+            err += "\n[phase timed out]"
         for line in out.splitlines():
             if line.startswith("RESULT "):
                 return json.loads(line[len("RESULT "):])
@@ -109,28 +140,38 @@ def main() -> None:
         "scene_dir": os.environ.get("MCPT_BENCH_SCENE_DIR", "/root/reference/scene"),
         "scene": os.environ.get("MCPT_BENCH_SCENE", "cornell-box"),
         "spp": int(os.environ.get("MCPT_BENCH_SPP", "16")),
-        "spp_bwd": int(os.environ.get("MCPT_BENCH_SPP_BWD", "2")),
         "chunk": int(os.environ.get("MCPT_BENCH_CHUNK", "65536")),
-        "spp_chunk": int(os.environ.get("MCPT_BENCH_SPP_CHUNK", "4")),
+        "spp_chunk": int(os.environ.get("MCPT_BENCH_SPP_CHUNK", "8")),
     }
     fwd = _run_phase(_FWD_PHASE, cfg)
     bwd = _run_phase(_BWD_PHASE, cfg)
+    try:
+        stats = _run_phase(_STATS_PHASE, cfg, attempts=1)
+    except Exception:
+        stats = {}
     fwd_rps = fwd["rays"] / fwd["seconds"]
     fwdbwd_rps = bwd["rays"] / bwd["seconds"]
 
     result = {
-        "metric": "cornell-box fwd+bwd rays/s/chip (fwd-only in fwd_rays_per_s)",
+        "metric": "cornell-box fwd+bwd rays/s/chip (matched spp/depth; fwd-only in fwd_rays_per_s)",
         "value": round(fwdbwd_rps, 1),
         "unit": "rays/s",
         "vs_baseline": round(fwdbwd_rps / PER_CHIP_TARGET, 4),
         "fwd_rays_per_s": round(fwd_rps, 1),
         "fwd_seconds": round(fwd["seconds"], 3),
         "fwdbwd_seconds": round(bwd["seconds"], 3),
+        "bwd_over_fwd": round(fwd_rps / max(fwdbwd_rps, 1e-9), 2),
         "spp": cfg["spp"],
-        "spp_bwd": cfg["spp_bwd"],
+        "max_depth": 32,
         "backend": fwd.get("backend", "unknown"),
         "device": fwd.get("device", "unknown"),
     }
+    if stats:
+        tests_per_ray = stats.get("candidates_per_ray", 0.0)
+        result["cand_clusters_per_ray"] = round(tests_per_ray, 2)
+        result["est_vpu_util"] = round(
+            fwd_rps * tests_per_ray / 64.0 * FLOPS_PER_TEST_PANEL / VPU_PEAK_F32, 4
+        )
     print(json.dumps(result))
 
 

@@ -108,6 +108,11 @@ class RenderOptions:
     cluster_rays: int = 64
     cluster_width: int = 32
     cluster_group: int = 4
+    # Cluster-boundary gap padding at scene build (scene/loader.py): insert
+    # invalid padding so Morton discontinuities above this bit level start a
+    # fresh width-aligned cluster — tighter cluster AABBs, fewer candidates
+    # in the cluster intersector.  0 disables (pure Morton runs).
+    cluster_gap_bits: int = 19
     # Wavefront ray sorting by (hit cluster, direction octant) per bounce —
     # restores tile coherence for shadow/bounce rays. None = on iff the
     # cluster intersector is active. Results are bitwise independent of this.

@@ -86,6 +86,36 @@ def _tile_swizzled_ids(h: int, w: int, packet_size: int):
     return (yy * w + xx).reshape(-1).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=64)
+def _swizzle_pixel_fn(h: int, w: int, packet_size: int):
+    """Arithmetic twin of _tile_swizzled_ids: maps a slot index to its pixel
+    id with shifts/masks (or one integer divide for non-pow2 shapes) instead
+    of a (R,) table gather — TPU scalar-gathers cost ~7 ns/row, ~0.5 ms per
+    refill iteration at 64k lanes.  lru_cached so the returned callable is a
+    stable jit static argument."""
+    ts = int(np.sqrt(packet_size))
+    n = h * w
+    if ts * ts != packet_size or (h < ts and w < ts):
+        return lambda slot: jnp.minimum(slot, n - 1)
+    ntx = -(-w // ts)
+
+    def div(a, b):
+        if b & (b - 1) == 0:
+            sh = b.bit_length() - 1
+            return a >> sh, a & (b - 1)
+        return a // b, a % b
+
+    def fn(slot):
+        tile, within = div(slot, ts * ts)
+        ty, tx = div(tile, ntx)
+        iy, ix = div(within, ts)
+        yy = jnp.minimum(ty * ts + iy, h - 1)
+        xx = jnp.minimum(tx * ts + ix, w - 1)
+        return yy * w + xx
+
+    return fn
+
+
 def resolve_intersector(opts: RenderOptions) -> str:
     """'auto' picks the Pallas cluster kernel on TPU, the XLA packet walk
     elsewhere (CPU test meshes, interpreter runs)."""
@@ -616,6 +646,7 @@ def render_pixels_refill(
     sample_offset=0,
     lanes: int | None = None,
     differentiable: bool = False,
+    pixel_fn=None,
 ):
     """Persistent-wavefront renderer with pixel-pinned lane refill.
 
@@ -674,7 +705,9 @@ def render_pixels_refill(
     num_lights = scene.num_lights
     reuse_primary = compat.no_pixel_jitter  # quirk #1: identical primaries
     lane_iota = jnp.arange(r, dtype=jnp.int32)
-    dummy_slot = jnp.int32(n_pix) + lane_iota  # unique film spill rows
+    # Unique OUT-OF-BOUNDS dummies: mode='drop' skips these rows in the film
+    # flush, so only lanes with a real completed pixel pay scatter work.
+    dummy_slot = jnp.int32(n_pix) + lane_iota
 
     def primary_for(pix, keys):
         jitter = None if compat.no_pixel_jitter else rng.primary_uniforms(keys)
@@ -778,7 +811,11 @@ def render_pixels_refill(
         # The completed pixel's film slot, captured BEFORE the lane moves on
         # to its next queue slot (staged after the NEE resolve below).
         slot_done = jnp.where(pixel_done, slot, dummy_slot)
-        pix_new = _gather_i32(pixel_ids, jnp.minimum(new_slot, n_pix - 1))
+        safe_slot = jnp.minimum(new_slot, n_pix - 1)
+        # pixel_fn (when the caller's pixel_ids are the standard tile
+        # swizzle) computes the pixel id arithmetically; otherwise gather.
+        pix_new = pixel_fn(safe_slot) if pixel_fn is not None \
+            else _gather_i32(pixel_ids, safe_slot)
         restart = next_samp | take
         pix2 = jnp.where(take, pix_new, pix)
         samp2 = jnp.where(take, jnp.asarray(sample_offset),
@@ -858,6 +895,15 @@ def render_pixels_refill(
         all_o = jnp.concatenate([ray_o] + [so_s[i] for i in range(num_lights)])
         all_d = jnp.concatenate([direction] + [dirn_s[i] for i in range(num_lights)])
         hit_q, t_q, tri_q = intersect_any(scene, bvh, all_o, all_d, opts)
+        if differentiable:
+            # Saved as reverse-pass residuals (save_only_these_names below):
+            # traversal is stop-gradient everywhere, so rematerializing the
+            # intersector kernels in the backward pass is pure waste — saving
+            # (hit, t, tri) skips it (~1.5 MB/iteration at 64k lanes).
+            from jax.ad_checkpoint import checkpoint_name
+            hit_q = checkpoint_name(hit_q, "isect_hit")
+            t_q = checkpoint_name(t_q, "isect_t")
+            tri_q = checkpoint_name(tri_q, "isect_tri")
         hit2, t2, tri2 = hit_q[:r], t_q[:r], tri_q[:r]
         hs = hit_q[r:].reshape(num_lights, r)
         ts = t_q[r:].reshape(num_lights, r)
@@ -932,25 +978,33 @@ def render_pixels_refill(
         n_iter = (int(np.ceil(n_pix * spp * e_seg * 1.2 / r))
                   + opts.max_depth + spp + 4)
 
+        remat_step = jax.checkpoint(
+            step,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "isect_hit", "isect_t", "isect_tri"),
+        )
+
         def scan_body(state, _):
-            state, flush_rad, flush_slot = jax.checkpoint(step)(state)
+            state, flush_rad, flush_slot = remat_step(state)
             return state, (flush_rad.T.reshape(-1), flush_slot)
 
         state, (rad_out, slot_out) = jax.lax.scan(
             scan_body, state0, None, length=n_iter
         )
         rad_out = rad_out.reshape(n_iter, 3, r).transpose(0, 2, 1)
-        film = jnp.zeros((n_pix + r, 3), jnp.float32).at[
+        film = jnp.zeros((n_pix, 3), jnp.float32).at[
             slot_out.reshape(-1)
-        ].add(rad_out.reshape(-1, 3))
+        ].add(rad_out.reshape(-1, 3), mode="drop")
         n_rays = state[1]
     else:
         flush_every = max(1, spp)
 
         def do_flush(film, pend_slot, pend_rad):
             # Index set is unique by construction: real slots are owned by
-            # exactly one lane; dummies are n_pix + lane.
-            film = film.at[pend_slot].add(pend_rad, unique_indices=True)
+            # exactly one lane; dummies are n_pix + lane (out of bounds,
+            # dropped).
+            film = film.at[pend_slot].add(pend_rad, unique_indices=True,
+                                          mode="drop")
             return film, dummy_slot
 
         def cond(carry):
@@ -972,12 +1026,12 @@ def render_pixels_refill(
 
         _, state, film = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), state0, jnp.zeros((n_pix + r, 3), jnp.float32)),
+            (jnp.int32(0), state0, jnp.zeros((n_pix, 3), jnp.float32)),
         )
         # Drain pendings staged since the last cadence boundary.
         film, _ = do_flush(film, state[18], state[23])
         n_rays = state[1]
-    return film[:n_pix] / spp, n_rays
+    return film / spp, n_rays
 
 
 def render_pixels(
@@ -1049,9 +1103,10 @@ def render_image_stats(
 
     if opts.refill:
         ids = jnp.asarray(ids_np)
-        out, rays = render_pixels_refill(scene, bvh, opts, ids, sample_offset,
-                                         lanes=chunk,
-                                         differentiable=differentiable)
+        out, rays = render_pixels_refill(
+            scene, bvh, opts, ids, sample_offset, lanes=chunk,
+            differentiable=differentiable,
+            pixel_fn=_swizzle_pixel_fn(h, w, swizzle_tile(opts, scene.num_tris_padded)))
         flat = jnp.zeros((n, 3), out.dtype).at[ids].set(out)
         return flat.reshape(h, w, 3), rays
 
@@ -1086,7 +1141,7 @@ _render_chunk_jit = jax.jit(
 )
 
 _render_refill_jit = jax.jit(
-    render_pixels_refill, static_argnames=("opts", "lanes")
+    render_pixels_refill, static_argnames=("opts", "lanes", "pixel_fn")
 )
 
 
@@ -1128,6 +1183,8 @@ def render_image_host_chunked(
             rad, rays = _render_refill_jit(
                 scene, bvh, opts.replace(spp=k), ids,
                 sample_offset=done, lanes=chunk,
+                pixel_fn=_swizzle_pixel_fn(
+                    h, w, swizzle_tile(opts, scene.num_tris_padded)),
             )
             acc = rad * k if acc is None else acc + rad * k
             total_rays += float(rays)

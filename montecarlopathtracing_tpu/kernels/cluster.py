@@ -426,3 +426,64 @@ def cluster_intersect(accel: ClusterAccel, origin, direction,
     bt, bi = bt[:r], bi[:r]
     hit = bi >= 0
     return hit, jnp.where(hit, bt, BIG), bi
+
+
+def candidate_stats(scene, opts, bvh=None):
+    """Measured candidate-cluster density for the roofline estimate in
+    bench.py: mean candidate clusters per ray subtile, on (a) the frame's
+    sorted primary tiles and (b) a bounce-like wavefront (cosine lobes about
+    the primary hits' normals, sorted by (hit cluster, octant) exactly like
+    the renderer's wavefront sort).  Returns a weighted mix approximating the
+    renderer's segment composition (~30% primary, ~70% bounce/shadow).
+    """
+    import numpy as np
+
+    from ..integrator.camera import primary_rays
+    from ..integrator.wavefront import (_tile_swizzled_ids, resolve_plan,
+                                        swizzle_tile)
+
+    kind, width, group = resolve_plan(opts, scene.num_tris_padded)
+    if not (kind or "").startswith("cluster"):
+        return {"candidates_per_ray": 0.0}
+    accel = build_cluster_accel(scene, width=width)
+    tile, mega = opts.cluster_rays, 16
+    h, w = scene.camera.height, scene.camera.width
+    ids = _tile_swizzled_ids(h, w, swizzle_tile(opts, scene.num_tris_padded))
+    r = min(65536, (len(ids) // (tile * mega)) * (tile * mega))
+    # Whole tiles strided across the FRAME (a contiguous prefix would sample
+    # only the top image rows), preserving subtile coherence.
+    tiles = ids.reshape(-1, tile)
+    step = max(1, tiles.shape[0] // (r // tile))
+    ids = jnp.asarray(tiles[::step][: r // tile].reshape(-1))
+    r = int(ids.shape[0])
+    o, d = primary_rays(scene.camera, ids)
+
+    def popmean(o, d):
+        rays = jnp.concatenate([o, d, jnp.zeros((o.shape[0], 2))], axis=1)
+        cand = np.asarray(_candidates(rays, accel.cmin, accel.cmax, tile,
+                                      mega, jax.default_backend() != "tpu"))
+        counts = cand[..., 0]  # per-subtile candidate counts
+        return float(counts.mean())
+
+    prim = popmean(o, d)
+
+    hit, t, tri = cluster_intersect(accel, o, d, tile=tile, group=group)
+    p = np.asarray(o + d * jnp.where(hit, t, 1.0)[:, None])
+    gn = np.asarray(scene.geom_n)[np.maximum(np.asarray(tri), 0)]
+    rng_ = np.random.default_rng(0)
+    u = rng_.uniform(size=(r, 2))
+    phi, ct = 2 * np.pi * u[:, 0], np.sqrt(u[:, 1])
+    st = np.sqrt(1 - ct * ct)
+    a = np.where(np.abs(gn[:, :1]) > 0.9, [[0.0, 1.0, 0.0]], [[1.0, 0.0, 0.0]])
+    tx = np.cross(gn, a)
+    tx /= np.maximum(np.linalg.norm(tx, axis=1, keepdims=True), 1e-9)
+    ty = np.cross(gn, tx)
+    bd = (tx * (st * np.cos(phi))[:, None] + ty * (st * np.sin(phi))[:, None]
+          + gn * ct[:, None]).astype(np.float32)
+    octant = ((bd[:, 0] > 0) * 4 + (bd[:, 1] > 0) * 2 + (bd[:, 2] > 0)).astype(int)
+    key = np.maximum(np.asarray(tri), 0) // width * 8 + octant
+    perm = np.argsort(key, kind="stable")
+    bounce = popmean(jnp.asarray(p[perm] + bd[perm] * 0.01), jnp.asarray(bd[perm]))
+
+    return {"candidates_per_ray": float(0.3 * prim + 0.7 * bounce),
+            "primary_cand": float(prim), "bounce_cand": float(bounce)}

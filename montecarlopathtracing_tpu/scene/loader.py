@@ -275,18 +275,47 @@ def build_scene(
     gn = gn[order]
     f_mat = f_mat[order]
 
+    # Cluster-boundary gap padding: the TPU intersector cuts the Morton order
+    # into fixed ``cluster_width`` runs; a run that straddles a large Morton
+    # discontinuity (or the big-triangle frontier) inherits a bloated AABB
+    # that defeats culling.  Insert invalid padding slots so that every
+    # position where consecutive codes differ above bit ``cluster_gap_bits``
+    # starts a fresh width-aligned run.  Estimator-neutral except for
+    # equal-t tie-breaking between coincident triangles (same class of
+    # divergence as the big-triangle segregation above, see docs/COMPAT.md).
+    w = max(1, options.cluster_width)
+    gap_bits = getattr(options, "cluster_gap_bits", 0)
+    if gap_bits and num_faces > w:
+        x = codes[order][1:] ^ codes[order][:-1]
+        cut = x >= (1 << gap_bits)
+        cut |= big[order][1:] != big[order][:-1]
+        starts = np.concatenate([[0], np.nonzero(cut)[0] + 1, [num_faces]])
+        new_pos = np.empty(num_faces, np.int64)
+        fill_pos = 0
+        for a, b in zip(starts[:-1], starts[1:]):
+            new_pos[a:b] = fill_pos + np.arange(b - a)
+            fill_pos += -(-(b - a) // w) * w
+        t_new = int(fill_pos)
+    else:
+        new_pos = np.arange(num_faces)
+        t_new = num_faces
+
     # Pad to a power of two (perfect implicit-heap LBVH, SURVEY.md §7 step 2).
-    tpad = pad_pow2(num_faces)
+    tpad = pad_pow2(t_new)
 
     def pad3(a, fill=0.0):
         out = np.full((tpad,) + a.shape[1:], fill, np.float32)
-        out[:num_faces] = a
+        out[new_pos] = a
         return out
 
     mat_id = np.zeros(tpad, np.int32)
-    mat_id[:num_faces] = f_mat
+    mat_id[new_pos] = f_mat
     tri_valid = np.zeros(tpad, bool)
-    tri_valid[:num_faces] = True
+    tri_valid[new_pos] = True
+    # Parse-order key per padded slot (gaps get a huge sentinel), used below
+    # for the parse-order light CDFs.
+    order_padded = np.full(tpad, np.iinfo(np.int64).max)
+    order_padded[new_pos] = order
 
     # Material table.
     num_mat = len(materials)
@@ -332,17 +361,18 @@ def build_scene(
         emission[light_mat[li]] = light_rad[li]
         is_emitter[light_mat[li]] = True
 
-    areas_all = triangle_areas(p0, p1, p2)
+    areas_all = triangle_areas(pad3(p0), pad3(p1), pad3(p2))
     fmax = 1
     per_light_faces: List[np.ndarray] = []
     for li in range(num_lights):
-        idx = np.nonzero(f_mat == light_mat[li])[0]
+        # Indices are PADDED triangle ids (the gap-padded layout above).
+        idx = np.nonzero((mat_id == light_mat[li]) & tri_valid)[0]
         # PARSE-order CDF: the reference walks material_map[name]->f, filled
         # during read_obj BEFORE the Morton sort (MTPC/sceneManagement.cpp:
         # 182 vs MTPC/MTPC.cpp:44) — with the frozen-range pick (quirk #4)
         # only the first [0, A_first) of this ordering is ever sampled, so
         # the ordering is observable.
-        idx = idx[np.argsort(order[idx], kind="stable")]
+        idx = idx[np.argsort(order_padded[idx], kind="stable")]
         per_light_faces.append(idx)
         fmax = max(fmax, len(idx))
     light_face_tri = np.zeros((max(num_lights, 1), fmax), np.int32)
