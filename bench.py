@@ -103,6 +103,28 @@ dt = time.perf_counter() - t0
 print("RESULT " + json.dumps({"rays": rays_c * n_chunks, "seconds": dt}))
 """
 
+_LARGE_PHASE = r"""
+import json, time, sys
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+from montecarlopathtracing_tpu.scene.builtin import load_builtin_large
+from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+from montecarlopathtracing_tpu.config import RenderOptions
+from montecarlopathtracing_tpu.integrator.wavefront import render_image_host_chunked
+cfg = json.loads(sys.argv[1])
+scene, meta = load_builtin_large(cfg.get("large_tris", 400_000))
+bvh = jax.jit(build_lbvh)(scene)
+jax.block_until_ready(bvh.node_min)
+opts = RenderOptions(spp=4, max_depth=32, chunk_size=cfg["chunk"], spp_chunk=2)
+render_image_host_chunked(scene, bvh, opts)  # warm up
+t0 = time.perf_counter()
+img, n_rays = render_image_host_chunked(scene, bvh, opts)
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({"rays": float(n_rays), "seconds": dt,
+                              "tris": int(meta.num_faces)}))
+"""
+
 _STATS_PHASE = _COMMON + r"""
 # Measured intersection-test statistics for the roofline estimate: candidate
 # (cluster, subtile) pairs per estimator ray on real sorted wavefronts.
@@ -149,6 +171,10 @@ def main() -> None:
         stats = _run_phase(_STATS_PHASE, cfg, attempts=1)
     except Exception:
         stats = {}
+    try:
+        large = _run_phase(_LARGE_PHASE, cfg, attempts=1)
+    except Exception:
+        large = {}
     fwd_rps = fwd["rays"] / fwd["seconds"]
     fwdbwd_rps = bwd["rays"] / bwd["seconds"]
 
@@ -166,6 +192,9 @@ def main() -> None:
         "backend": fwd.get("backend", "unknown"),
         "device": fwd.get("device", "unknown"),
     }
+    if large:
+        result["large_scene_tris"] = large["tris"]
+        result["large_scene_rays_per_s"] = round(large["rays"] / large["seconds"], 1)
     if stats:
         tests_per_ray = stats.get("candidates_per_ray", 0.0)
         result["cand_clusters_per_ray"] = round(tests_per_ray, 2)

@@ -138,7 +138,7 @@ def resolve_plan(opts: RenderOptions, num_tris: int):
     if kind in ("cluster", "cluster_interpret"):
         plan = _cluster_plan(opts, num_tris)
         if plan is not None:
-            return kind, plan[0], plan[1]
+            return kind, plan[0], plan[1], plan[2]
         if opts.intersector != "auto":
             import warnings
 
@@ -149,7 +149,7 @@ def resolve_plan(opts: RenderOptions, num_tris: int):
                 stacklevel=2,
             )
         kind = "bvh"
-    return kind, None, None
+    return kind, None, None, 1
 
 
 def swizzle_tile(opts: RenderOptions, num_tris: int) -> int:
@@ -176,20 +176,37 @@ def _cluster_plan(opts: RenderOptions, num_tris: int):
     the scene resident and the caller falls back to the XLA packet walk.
     """
     if num_tris * _tconst_bytes_per_tri(opts.cluster_width) <= _VMEM_TABLE_BUDGET:
-        return opts.cluster_width, opts.cluster_group
+        return opts.cluster_width, opts.cluster_group, 1
     if num_tris * _tconst_bytes_per_tri(128) <= _VMEM_TABLE_BUDGET:
         # coarser clusters, same 128-lane test panel
-        return 128, max(1, (opts.cluster_width * opts.cluster_group) // 128)
-    return None  # does not fit resident: use the packet walk
+        return 128, max(1, (opts.cluster_width * opts.cluster_group) // 128), 1
+    # Larger than one VMEM-resident table: contiguous Morton-range CHUNKS,
+    # each its own table, merged lexicographically (kernels.cluster.
+    # cluster_intersect_chunked).  Per-chunk fixed cost caps the chunk count;
+    # beyond that the XLA packet walk takes over.
+    n_chunks = -(-num_tris * _tconst_bytes_per_tri(128) // _VMEM_TABLE_BUDGET)
+    if n_chunks <= 8:
+        return 128, max(1, (opts.cluster_width * opts.cluster_group) // 128), int(n_chunks)
+    return None  # use the packet walk
 
 
 def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
     """Nearest-hit dispatch (the reference's ray_intersect, MTPC/pathTracing.cpp:382)."""
     compat_tri = opts.compat.plane_sign_triangle_test
-    kind, width, group = resolve_plan(opts, scene.num_tris_padded)
+    kind, width, group, n_chunks = resolve_plan(opts, scene.num_tris_padded)
     if kind == "brute":
         return brute_force_intersect(scene, origin, direction, compat=compat_tri)
     if kind in ("cluster", "cluster_interpret"):
+        interp = True if kind == "cluster_interpret" else None
+        if n_chunks > 1:
+            from ..kernels.cluster import (build_cluster_accel_chunked,
+                                           cluster_intersect_chunked)
+
+            accels, offs = build_cluster_accel_chunked(
+                scene, width=width, n_chunks=n_chunks, mt=not compat_tri)
+            return cluster_intersect_chunked(
+                accels, offs, origin, direction, tile=opts.cluster_rays,
+                group=group, interpret=interp, mt=not compat_tri)
         from ..kernels.cluster import build_cluster_accel, cluster_intersect
 
         # modern mode (plane_sign=False) selects the kernel's Moller-Trumbore
@@ -197,7 +214,7 @@ def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
         accel = build_cluster_accel(scene, width=width, mt=not compat_tri)
         return cluster_intersect(
             accel, origin, direction, tile=opts.cluster_rays, group=group,
-            interpret=True if kind == "cluster_interpret" else None,
+            interpret=interp,
             mt=not compat_tri,
         )
     if kind == "bvh_perray":

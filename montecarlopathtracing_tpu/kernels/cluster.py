@@ -442,7 +442,7 @@ def candidate_stats(scene, opts, bvh=None):
     from ..integrator.wavefront import (_tile_swizzled_ids, resolve_plan,
                                         swizzle_tile)
 
-    kind, width, group = resolve_plan(opts, scene.num_tris_padded)
+    kind, width, group = resolve_plan(opts, scene.num_tris_padded)[:3]
     if not (kind or "").startswith("cluster"):
         return {"candidates_per_ray": 0.0}
     accel = build_cluster_accel(scene, width=width)
@@ -487,3 +487,54 @@ def candidate_stats(scene, opts, bvh=None):
 
     return {"candidates_per_ray": float(0.3 * prim + 0.7 * bounce),
             "primary_cand": float(prim), "bounce_cand": float(bounce)}
+
+
+def build_cluster_accel_chunked(scene, width: int, n_chunks: int,
+                                mt: bool = False):
+    """Split the (Morton-sorted, padded) triangle range into ``n_chunks``
+    width-aligned contiguous chunks, each with its own VMEM-sized
+    ClusterAccel.  Chunk k covers triangles [offsets[k], offsets[k+1]);
+    Morton contiguity keeps each chunk spatially tight, so a ray's candidate
+    clusters concentrate in few chunks (the others' candidate lists come out
+    empty and cost only the per-call fixed overhead)."""
+    import dataclasses as _dc
+
+    t = scene.num_tris_padded
+    per = -(-(t // width) // n_chunks) * width
+    accels, offsets = [], []
+    for k in range(n_chunks):
+        a, b = k * per, min((k + 1) * per, t)
+        if a >= b:
+            break
+        sub = _dc.replace(
+            scene,
+            v0=scene.v0[a:b], v1=scene.v1[a:b], v2=scene.v2[a:b],
+            geom_n=scene.geom_n[a:b], tri_valid=scene.tri_valid[a:b],
+        )
+        accels.append(build_cluster_accel(sub, width=width, mt=mt))
+        offsets.append(a)
+    return accels, offsets
+
+
+def cluster_intersect_chunked(accels, offsets, origin, direction,
+                              tile: int = 256, mega: int = 16, group: int = 4,
+                              interpret: bool | None = None, mt: bool = False):
+    """Nearest-hit over a chunked accel: per-chunk cluster_intersect, merged
+    lexicographically on (t, global triangle id) — identical contract to the
+    single-table kernel (chunks ascend in triangle id, so strict-< merging
+    reproduces the in-order tie-break)."""
+    bt = bi = None
+    for accel, off in zip(accels, offsets):
+        hit_k, t_k, tri_k = cluster_intersect(
+            accel, origin, direction, tile=tile, mega=mega, group=group,
+            interpret=interpret, mt=mt)
+        tri_g = jnp.where(hit_k, tri_k + off, jnp.int32(jnp.iinfo(jnp.int32).max))
+        t_k = jnp.where(hit_k, t_k, BIG)
+        if bt is None:
+            bt, bi = t_k, tri_g
+        else:
+            better = (t_k < bt) | ((t_k == bt) & (tri_g < bi))
+            bt = jnp.where(better, t_k, bt)
+            bi = jnp.where(better, tri_g, bi)
+    hit = bt < BIG
+    return hit, jnp.where(hit, bt, BIG), jnp.where(hit, bi, -1)

@@ -146,3 +146,126 @@ def load_builtin_box(options: Optional[RenderOptions] = None, name: str = "box",
     with tempfile.TemporaryDirectory() as d:
         write_box_scene(d, name, **kw)
         return build_scene(d, name, options or RenderOptions())
+
+
+def load_builtin_large(n_tris: int = 400_000,
+                       options: Optional[RenderOptions] = None,
+                       width: int = 1024, height: int = 1024, seed: int = 0):
+    """Procedural bedroom-class workload: a closed room filled with a grid of
+    UV-sphere 'props' on a textured floor, one area light — ~``n_tris``
+    triangles (the reference's largest artifact is the unshipped 1280x720
+    bedroom, result/bedroom-SPP256.png; this is the stand-in large scene for
+    exercising/benchmarking the >VMEM-table intersector path).  Geometry sits
+    inside the compat Morton bounds [-1, 4].  Built directly as parsed
+    buffers (no OBJ text round-trip) and fed through the normal build_scene
+    pipeline (Morton sort, gap clustering, light CDFs).
+
+    Returns (scene, meta).
+    """
+    import numpy as np
+
+    from .loader import MaterialRecord, build_scene
+
+    rng = np.random.default_rng(seed)
+
+    verts = []
+    vnorms = []
+    face_v = []
+    face_vn = []
+    face_mat = []
+
+    def add_quad(p, m):
+        b = len(verts)
+        verts.extend(p)
+        n = np.cross(np.subtract(p[1], p[0]), np.subtract(p[2], p[0]))
+        n = n / max(np.linalg.norm(n), 1e-12)
+        vnorms.extend([n] * 4)
+        face_v.extend([(b, b + 1, b + 2), (b, b + 2, b + 3)])
+        face_vn.extend([(b, b + 1, b + 2), (b, b + 2, b + 3)])
+        face_mat.extend([m, m])
+
+    # Room [0, 3]^3: floor(textured)=0, walls=1, ceiling=1, light=2.
+    add_quad([(0, 0, 0), (3, 0, 0), (3, 0, 3), (0, 0, 3)], 0)          # floor
+    add_quad([(0, 3, 0), (0, 3, 3), (3, 3, 3), (3, 3, 0)], 1)          # ceiling
+    add_quad([(0, 0, 0), (0, 3, 0), (3, 3, 0), (3, 0, 0)], 1)          # back
+    add_quad([(0, 0, 0), (0, 0, 3), (0, 3, 3), (0, 3, 0)], 1)          # left
+    add_quad([(3, 0, 0), (3, 3, 0), (3, 3, 3), (3, 0, 3)], 1)          # right
+    add_quad([(1.2, 2.98, 1.2), (1.8, 2.98, 1.2), (1.8, 2.98, 1.8),
+              (1.2, 2.98, 1.8)], 2)                                    # light
+
+    # Sphere props: grid sized so total triangles ~ n_tris.
+    # One UV sphere with S stacks: 2*S*S triangles.
+    S = 12
+    per = 2 * S * S
+    n_spheres = max(1, (n_tris - len(face_mat)) // per)
+    g = int(np.ceil(np.sqrt(n_spheres)))
+    th = np.linspace(0, np.pi, S + 1)
+    ph = np.linspace(0, 2 * np.pi, S + 1)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    unit = np.stack([np.sin(tt) * np.cos(pp), np.cos(tt),
+                     np.sin(tt) * np.sin(pp)], axis=-1)  # (S+1, S+1, 3)
+
+    placed = 0
+    for gy in range(g):
+        for gx in range(g):
+            if placed >= n_spheres:
+                break
+            cx = 0.25 + 2.5 * (gx + 0.5) / g
+            cz = 0.25 + 2.5 * (gy + 0.5) / g
+            rad = min(1.0 / g, 0.12) * rng.uniform(0.6, 1.0)
+            cy = rad + rng.uniform(0.0, 1.2)
+            pts = unit * rad + np.array([cx, cy, cz])
+            b = len(verts)
+            verts.extend(pts.reshape(-1, 3))
+            vnorms.extend(unit.reshape(-1, 3))
+            idx = np.arange((S + 1) * (S + 1)).reshape(S + 1, S + 1)
+            a_, b_ = idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel()
+            c_, d_ = idx[1:, 1:].ravel(), idx[1:, :-1].ravel()
+            for t1, t2, t3 in ((a_, b_, c_), (a_, c_, d_)):
+                face_v.extend(zip(b + t1, b + t2, b + t3))
+                face_vn.extend(zip(b + t1, b + t2, b + t3))
+            face_mat.extend([3 + (placed % 4)] * (2 * S * S))
+            placed += 1
+
+    mats = []
+    floor = MaterialRecord("Floor")
+    floor.kd = np.array([1.0, 1.0, 1.0])
+    floor.map_kd = "cherry-wood-texture.jpg"
+    mats.append(floor)
+    wall = MaterialRecord("Wall")
+    wall.kd = np.array([0.7, 0.7, 0.72])
+    mats.append(wall)
+    light = MaterialRecord("Light")
+    mats.append(light)
+    palette = [(0.7, 0.2, 0.2), (0.2, 0.6, 0.25), (0.25, 0.3, 0.7), (0.7, 0.6, 0.2)]
+    for i, c in enumerate(palette):
+        m = MaterialRecord(f"Prop{i}")
+        m.kd = np.array(c)
+        if i == 3:
+            m.ks = np.array([0.4, 0.4, 0.4])
+            m.ns = 200.0
+        mats.append(m)
+
+    vs = np.asarray(verts, np.float64)
+    vns_arr = np.asarray(vnorms, np.float64)
+    # Planar floor uvs derived from vertex position (u, v) = (x, z)/3.
+    vts_arr = np.stack([vs[:, 0] / 3.0, vs[:, 2] / 3.0], axis=1)
+    f_v = np.asarray(face_v, np.int64)
+    obj = (vs, vns_arr, vts_arr, f_v, f_v.copy(), np.asarray(face_vn, np.int64),
+           np.asarray(face_mat, np.int64))
+    cam = dict(eye=(1.5, 1.5, 8.2), lookat=(1.5, 1.5, 1.5), up=(0, 1, 0),
+               fovy=25.0, width=width, height=height)
+    lights = [("Light", (40.0, 40.0, 40.0))]
+    mat_index = {m.name: i for i, m in enumerate(mats)}
+
+    with tempfile.TemporaryDirectory() as d:
+        import shutil
+
+        tex = os.path.join(os.path.dirname(__file__), "..", "..", "tests",
+                           "golden", "cherry-wood-texture.jpg")
+        if os.path.exists(tex):
+            shutil.copy(tex, d)
+        else:
+            floor.map_kd = None
+        return build_scene(d, "large", options or RenderOptions(),
+                           parsed=(mats, mat_index, obj, cam, lights))

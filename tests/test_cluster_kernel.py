@@ -136,7 +136,7 @@ def test_explicit_cluster_fallback_warns():
     opts = RenderOptions(intersector="cluster")
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        kind, _, _ = resolve_plan(opts, num_tris=1 << 22)
+        kind, _, _, _ = resolve_plan(opts, num_tris=1 << 22)
     assert kind == "bvh"
     assert any("falling back" in str(w.message) for w in rec)
     # 'auto' stays silent
@@ -144,3 +144,32 @@ def test_explicit_cluster_fallback_warns():
         warnings.simplefilter("always")
         resolve_plan(RenderOptions(intersector="auto"), num_tris=1 << 22)
     assert not rec
+
+
+def test_chunked_cluster_matches_brute_force(box_scene):
+    """Large-scene path: per-chunk tables merged lexicographically must equal
+    the single-table result and brute force (chunk boundaries are arbitrary
+    width multiples, forced to 3 chunks here)."""
+    from montecarlopathtracing_tpu.kernels.cluster import (
+        build_cluster_accel_chunked, cluster_intersect_chunked)
+
+    accels, offs = build_cluster_accel_chunked(box_scene, width=4, n_chunks=3)
+    assert len(accels) >= 2
+    o, d = _random_rays(256, seed=11)
+    hb, tb, ib = brute_force_intersect(box_scene, o, d)
+    hc, tc, ic = cluster_intersect_chunked(accels, offs, o, d, tile=16,
+                                           mega=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(hc))
+    ok = np.asarray(hb)
+    np.testing.assert_allclose(np.asarray(tb)[ok], np.asarray(tc)[ok],
+                               rtol=1e-4, atol=1e-5)
+    same = np.asarray(ib)[ok] == np.asarray(ic)[ok]
+    assert same.mean() > 0.99
+
+
+def test_plan_selects_chunked_for_large_scenes():
+    from montecarlopathtracing_tpu.integrator.wavefront import resolve_plan
+
+    kind, width, group, n_chunks = resolve_plan(
+        RenderOptions(intersector="cluster"), num_tris=1 << 19)  # 512k tris
+    assert kind == "cluster" and width == 128 and n_chunks > 1

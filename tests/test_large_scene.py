@@ -11,11 +11,14 @@ from montecarlopathtracing_tpu.integrator.wavefront import _cluster_plan
 
 def test_cluster_plan_thresholds():
     opts = RenderOptions()  # width 32, group 4
-    assert _cluster_plan(opts, 16384) == (32, 4)
-    assert _cluster_plan(opts, 32768) == (32, 4)
-    w, g = _cluster_plan(opts, 1 << 17)  # 131072 tris: coarse plan
-    assert w == 128 and w * g == opts.cluster_width * opts.cluster_group
-    assert _cluster_plan(opts, 1 << 20) is None  # too big: packet fallback
+    assert _cluster_plan(opts, 16384) == (32, 4, 1)
+    assert _cluster_plan(opts, 32768) == (32, 4, 1)
+    w, g, n = _cluster_plan(opts, 1 << 17)  # 131072 tris: coarse plan
+    assert w == 128 and n == 1
+    assert w * g == opts.cluster_width * opts.cluster_group
+    w, g, n = _cluster_plan(opts, 1 << 20)  # 1M tris: chunked tables
+    assert w == 128 and 2 <= n <= 8
+    assert _cluster_plan(opts, 1 << 24) is None  # beyond chunking: packet
 
 
 def test_medium_scene_intersect():
@@ -76,3 +79,27 @@ def test_medium_scene_intersect():
     ok = np.asarray(hb)
     np.testing.assert_allclose(np.asarray(tb)[ok], np.asarray(tc)[ok],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_builtin_large_scene_renders():
+    """The procedural bedroom-class generator (scene/builtin.py) builds and
+    renders through the normal pipeline (small instance for CPU CI; the TPU
+    chunked-cluster path over it is benchmarked in bench.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+    from montecarlopathtracing_tpu.config import RenderOptions
+    from montecarlopathtracing_tpu.integrator.wavefront import render_pixels
+    from montecarlopathtracing_tpu.scene.builtin import load_builtin_large
+
+    scene, meta = load_builtin_large(30_000, width=32, height=32)
+    assert meta.num_faces > 25_000
+    assert scene.num_lights == 1
+    bvh = jax.jit(build_lbvh)(scene)
+    ids = jnp.arange(32 * 32, dtype=jnp.int32)
+    rad, _ = render_pixels(scene, bvh, RenderOptions(spp=2, max_depth=6), ids)
+    rad = np.asarray(rad)
+    assert np.isfinite(rad).all()
+    assert rad.mean() > 0.01  # lit scene, non-black
