@@ -11,14 +11,20 @@ radiance estimate stays a smooth polynomial in the continuous parameters:
 
 * ``kd``/``ks`` material albedos (throughput + NEE products),
 * emitter radiance (NEE + emitter-hit terms; linear),
-* texture texels (gathered kd; gradient scatters back into the atlas).
+* texture texels (gathered kd; gradient scatters back into the atlas),
+* ``Ns`` Phong exponents — via a score-function (REINFORCE) surrogate folded
+  into the specular bounce weight (wavefront._next_ray): the lobe DIRECTION
+  is the only Ns-dependent quantity, so the pathwise-detached estimator's Ns
+  gradient would be zero; the surrogate exp(logp - sg(logp)) contributes
+  E[f * d/dNs log p(omega|Ns)] while leaving the forward pass bitwise
+  unchanged.  Higher-variance than the albedo gradients (no baseline).
 
 This is unbiased for these parameters because the sampling distributions do
-not depend on them — except the kd/ks lobe *ratio* test and RR, whose decision
-thresholds do involve |kd|,|ks|; those comparisons are detached, matching the
-standard "detach the discrete, differentiate the continuous" estimator. ``Ns``
-and geometry gradients are out of scope (would need score-function or
-reparameterized edge terms) and are documented as such.
+not depend on them (Ns's distributional dependence is covered by the score
+term) — except the kd/ks lobe *ratio* test and RR, whose decision thresholds
+do involve |kd|,|ks|; those comparisons are detached, matching the standard
+"detach the discrete, differentiate the continuous" estimator.  Geometry
+gradients remain out of scope (edge/visibility terms).
 """
 
 from __future__ import annotations
@@ -43,13 +49,14 @@ class SceneParams:
 
     kd: Any  # (M,3)
     ks: Any  # (M,3)
+    ns: Any  # (M,)
     light_radiance: Any  # (L,3)
     atlas: Any  # (A,3)
 
     @staticmethod
     def from_scene(scene: SceneArrays) -> "SceneParams":
         return SceneParams(
-            kd=scene.kd, ks=scene.ks,
+            kd=scene.kd, ks=scene.ks, ns=scene.ns,
             light_radiance=scene.light_radiance, atlas=scene.atlas,
         )
 
@@ -63,7 +70,7 @@ def apply_params(scene: SceneArrays, params: SceneParams) -> SceneArrays:
         emission = emission.at[scene.light_mat].set(params.light_radiance)
     return dataclasses.replace(
         scene,
-        kd=params.kd, ks=params.ks, atlas=params.atlas,
+        kd=params.kd, ks=params.ks, ns=params.ns, atlas=params.atlas,
         light_radiance=params.light_radiance, emission=emission,
     )
 

@@ -530,6 +530,28 @@ def _next_ray(scene, opts: RenderOptions, p, pn, matf, kd, incoming, u):
         jnp.ones_like(kd),
         jnp.where((ray_type == RAY_SPECULAR)[:, None], ks, kd),
     )
+
+    # Ns gradient (SURVEY.md §7 step 7): the Phong lobe DIRECTION depends on
+    # Ns (theta = acos(u^(1/(Ns+1)))), which the detached-sampling estimator
+    # cannot see.  Fold in a score-function surrogate: exp(logp - sg(logp))
+    # has value exactly 1 (the forward pass is bitwise unchanged) and
+    # gradient d logp/dNs, giving the unbiased REINFORCE term
+    # E[f * d/dNs log p(omega | Ns)] for everything downstream of a Phong
+    # bounce.  p(omega) = (Ns+1)/(2pi) cos^Ns(theta); the score is taken at
+    # the FIXED sampled direction, so log cos(theta) = log(u)/(Ns+1) must be
+    # DETACHED (differentiating it through Ns would double-count the
+    # reparameterization and break E[score] = 0):
+    # logp = log(Ns+1) + Ns * sg(log cos theta) + const.
+    ns = matf[:, _MF_NS]
+    phong = (ray_type == RAY_SPECULAR) & ~take_refract
+    logcos = jax.lax.stop_gradient(
+        jnp.log(jnp.maximum(u[:, 4], 1e-12)) / (ns + 1.0)
+    )
+    logp = jnp.log(ns + 1.0) + ns * logcos
+    surrogate = jnp.where(
+        phong, jnp.exp(logp - jax.lax.stop_gradient(logp)), 1.0
+    )
+    weight = weight * surrogate[:, None]
     return origin, direction, ray_type, weight
 
 
