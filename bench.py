@@ -140,19 +140,19 @@ def _run_phase(code: str, cfg: dict, attempts: int = 2) -> dict:
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", code, json.dumps(cfg)],
-                capture_output=True, text=True, timeout=1750,
+                capture_output=True, text=True, timeout=700,
             )
             out, err = proc.stdout, proc.stderr
         except subprocess.TimeoutExpired as e:  # hung device counts as a failed attempt
             out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
             err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
-            err += "\n[phase timed out]"
+            err += "\n[phase timed out after 700s]"
         for line in out.splitlines():
             if line.startswith("RESULT "):
                 return json.loads(line[len("RESULT "):])
         last = out[-2000:] + err[-2000:]
         if k < attempts - 1:
-            time.sleep(5)
+            time.sleep(120)  # wedged-tunnel recovery window
     sys.stderr.write(last)
     raise RuntimeError("bench phase failed")
 

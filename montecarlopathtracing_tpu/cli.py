@@ -52,8 +52,20 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "bench":
-        import bench  # repo-root bench.py when run from checkout
+        import os
+        import sys
 
+        # bench.py lives at the repo root (not in the package): resolve it
+        # relative to this file so `... bench` also works installed/elsewhere.
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if os.path.exists(os.path.join(root, "bench.py")):
+            sys.path.insert(0, root)
+        try:
+            import bench
+        except ImportError:
+            print("bench.py not found (it ships at the repository root, "
+                  "not inside the package)", file=sys.stderr)
+            return 2
         bench.main()
         return 0
     if args.cmd == "devices":
