@@ -59,8 +59,10 @@ jax.block_until_ready(bvh.node_min)
 
 _FWD_PHASE = _COMMON + r"""
 from montecarlopathtracing_tpu.integrator.wavefront import render_image_host_chunked
+# One dispatch for the whole frame (spp 16 ~ 5 s on v5e, under the watchdog);
+# the backward phase keeps smaller chunks (its dispatches cost ~2.5x more).
 opts = RenderOptions(spp=cfg["spp"], max_depth=32, chunk_size=cfg["chunk"],
-                     spp_chunk=cfg["spp_chunk"])
+                     spp_chunk=cfg["spp"])
 render_image_host_chunked(scene, bvh, opts)  # warm up / compile
 t0 = time.perf_counter()
 img, n_rays = render_image_host_chunked(scene, bvh, opts)
