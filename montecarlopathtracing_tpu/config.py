@@ -126,6 +126,11 @@ class RenderOptions:
     # are dropped); refill=False selects the scan-over-samples renderer for
     # both.
     refill: bool = True
+    # Score-function (REINFORCE) Ns gradient surrogate in the specular bounce
+    # weight (wavefront._next_ray).  Forward values are bitwise unchanged,
+    # but the extra reverse-mode path costs ~40% backward time (measured on
+    # v5e) — enable when optimizing Phong exponents.
+    ns_gradient: bool = False
     compat: CompatOptions = dataclasses.field(default_factory=CompatOptions)
 
     def replace(self, **kw) -> "RenderOptions":

@@ -12,12 +12,19 @@ radiance estimate stays a smooth polynomial in the continuous parameters:
 * ``kd``/``ks`` material albedos (throughput + NEE products),
 * emitter radiance (NEE + emitter-hit terms; linear),
 * texture texels (gathered kd; gradient scatters back into the atlas),
-* ``Ns`` Phong exponents — via a score-function (REINFORCE) surrogate folded
-  into the specular bounce weight (wavefront._next_ray): the lobe DIRECTION
-  is the only Ns-dependent quantity, so the pathwise-detached estimator's Ns
-  gradient would be zero; the surrogate exp(logp - sg(logp)) contributes
+* ``Ns`` Phong exponents (opt-in: ``RenderOptions.ns_gradient=True``) — via
+  a score-function (REINFORCE) surrogate folded into the specular bounce
+  weight (wavefront._next_ray): the lobe DIRECTION is the only Ns-dependent
+  quantity, so the pathwise-detached estimator's Ns gradient would be zero;
+  the surrogate exp(logp - sg(logp)) contributes
   E[f * d/dNs log p(omega|Ns)] while leaving the forward pass bitwise
-  unchanged.  Higher-variance than the albedo gradients (no baseline).
+  unchanged.  Higher-variance than the albedo gradients (no baseline), and
+  off by default (its reverse-mode path costs ~40%% extra backward time).
+
+Performance note: prefer ``jax.grad`` over ``jax.value_and_grad`` around
+these losses — materializing the primal alongside the rematerialized
+backward costs +44%% on v5e (measured); log the loss from a separate cheap
+forward when needed.
 
 This is unbiased for these parameters because the sampling distributions do
 not depend on them (Ns's distributional dependence is covered by the score

@@ -542,16 +542,17 @@ def _next_ray(scene, opts: RenderOptions, p, pn, matf, kd, incoming, u):
     # DETACHED (differentiating it through Ns would double-count the
     # reparameterization and break E[score] = 0):
     # logp = log(Ns+1) + Ns * sg(log cos theta) + const.
-    ns = matf[:, _MF_NS]
-    phong = (ray_type == RAY_SPECULAR) & ~take_refract
-    logcos = jax.lax.stop_gradient(
-        jnp.log(jnp.maximum(u[:, 4], 1e-12)) / (ns + 1.0)
-    )
-    logp = jnp.log(ns + 1.0) + ns * logcos
-    surrogate = jnp.where(
-        phong, jnp.exp(logp - jax.lax.stop_gradient(logp)), 1.0
-    )
-    weight = weight * surrogate[:, None]
+    if opts.ns_gradient:
+        ns = matf[:, _MF_NS]
+        phong = (ray_type == RAY_SPECULAR) & ~take_refract
+        logcos = jax.lax.stop_gradient(
+            jnp.log(jnp.maximum(u[:, 4], 1e-12)) / (ns + 1.0)
+        )
+        logp = jnp.log(ns + 1.0) + ns * logcos
+        surrogate = jnp.where(
+            phong, jnp.exp(logp - jax.lax.stop_gradient(logp)), 1.0
+        )
+        weight = weight * surrogate[:, None]
     return origin, direction, ray_type, weight
 
 

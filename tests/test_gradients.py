@@ -130,7 +130,8 @@ def test_ns_gradient_matches_fd(tmp_path):
     scene, meta = m.load_scene(str(tmp_path), "ns", use_native=False)
     bvh = jax.jit(build_lbvh)(scene)
     ids = jnp.arange(16, dtype=jnp.int32)
-    opts = RenderOptions(spp=4096, max_depth=2, chunk_size=16)
+    opts = RenderOptions(spp=4096, max_depth=2, chunk_size=16,
+                         ns_gradient=True)
 
     def scalar(p):
         rad, _ = render_pixels(apply_params(scene, p), bvh, opts, ids,
