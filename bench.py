@@ -1,17 +1,40 @@
 """Benchmark: cornell-box rays/s on the current backend (TPU when available).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} — ALWAYS,
+even when phases fail: partial results are emitted with explicit
+"bwd": "timeout"-style markers instead of nothing.  (Round-2 postmortem: the
+driver's 700 s budget expired against worst-case 2 phases x 2 attempts x 700 s
++ sleeps, and a single failed phase aborted the whole report.)
 
 Baseline: BASELINE.json's north star is >1e9 rays/s fwd+bwd on a v5e-16, i.e.
 6.25e7 rays/s/chip; vs_baseline = measured fwd+bwd rays/s/chip / 6.25e7.
-The reference itself publishes no throughput numbers (SURVEY.md §6); for
-scale: the reference binary compiled by tools/refbin renders cornell-box at
-~1.6e5 rays/s/thread on this host's CPU.
+The reference itself publishes no throughput numbers (SURVEY.md §6; the loop
+being timed is its render loop, MTPC/pathTracing.cpp:296-329); for scale: the
+reference binary compiled by tools/refbin renders cornell-box at ~1.6e5
+rays/s/thread on this host's CPU.
 
 Forward and forward+backward run at MATCHED estimator configs (same scene,
 spp, max_depth 32, same renderer architecture); the backward accumulates
 gradients over spp chunks (each a separate dispatch, summed on device) so
-single-dispatch wall time stays under the tunneled-TPU watchdog.
+single-dispatch wall time stays under the tunneled-TPU watchdog.  The rays
+count for the backward phase rides the same compiled call via
+``jax.grad(..., has_aux=True)`` — no second compile.
+
+Accounting note: in compat mode every sample of a pixel shoots the identical
+primary ray, and the renderer memoizes the primary hit in lane registers
+(wavefront.py quirk-#1 reuse); those samples are counted as cast rays (they
+are estimator-level segments the reference would cast), so headline rays/s
+overstates *traversal* throughput by roughly the primary fraction (~1/3.5).
+Frame-level comparisons are unaffected.
+
+Structure: ONE subprocess runs setup -> forward -> backward -> stats and
+prints an incremental ``RESULT <name> <json>`` line after each stage; the
+parent harvests lines as they arrive under a global deadline (default 620 s,
+env MCPT_BENCH_BUDGET), kills the child on stage-gate timeouts (a wedged axon
+tunnel can hang even ``jax.devices()`` for 10+ min), optionally retries just
+the missing stage in a fresh process, and always prints the final JSON.
+The large-scene stage runs in its own process only if budget remains (or
+MCPT_BENCH_FULL=1 forces it).
 
 Hardware-model context emitted alongside the headline:
 * ``est_vpu_util`` — measured intersection-test throughput against a VPU
@@ -20,11 +43,6 @@ Hardware-model context emitted alongside the headline:
   pair: tile(64) x width(32) x ~34 f32 ops for the compat plane+sign test.
   Candidate counts are measured (kernels.cluster.candidate_stats), not
   assumed.  VPU_PEAK_F32 = 2e12 is a stated model constant for one v5e core.
-
-Each phase (forward render, gradient render) runs in its OWN subprocess: the
-tunneled axon TPU occasionally wedges a process's device state after several
-large heterogeneous programs (every later execution fails INVALID_ARGUMENT),
-and a fresh process recovers it.  Phases are retried once on failure.
 """
 
 from __future__ import annotations
@@ -33,6 +51,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 PER_CHIP_TARGET = 1e9 / 16  # rays/s/chip, from BASELINE.json north star
@@ -44,36 +63,41 @@ import json, time, sys, os
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+cfg = json.loads(sys.argv[1])
+
+def result(name, obj):
+    print("RESULT " + name + " " + json.dumps(obj), flush=True)
+
+t_start = time.perf_counter()
 import montecarlopathtracing_tpu as m
-from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+from montecarlopathtracing_tpu.accel.lbvh import build_lbvh_host
 from montecarlopathtracing_tpu.config import RenderOptions
 from montecarlopathtracing_tpu.scene.builtin import load_builtin_box
-cfg = json.loads(sys.argv[1])
+dev = jax.devices()[0]  # first device touch: hangs here if the tunnel wedged
 if os.path.isdir(cfg["scene_dir"]):
     scene, meta = m.load_scene(cfg["scene_dir"], cfg["scene"])
 else:
     scene, meta = load_builtin_box(width=1024, height=1024)
-bvh = jax.jit(build_lbvh)(scene)
+bvh = build_lbvh_host(scene)  # NumPy build: no device compile in setup
 jax.block_until_ready(bvh.node_min)
+result("setup", {"seconds": round(time.perf_counter() - t_start, 1),
+                 "backend": jax.default_backend(), "device": str(dev)})
 """
 
-_FWD_PHASE = _COMMON + r"""
+_FWD_STAGE = r"""
 from montecarlopathtracing_tpu.integrator.wavefront import render_image_host_chunked
 # One dispatch for the whole frame (spp 16 ~ 5 s on v5e, under the watchdog);
-# the backward phase keeps smaller chunks (its dispatches cost ~2.5x more).
+# the backward stage keeps smaller chunks (its dispatches cost ~2.5x more).
 opts = RenderOptions(spp=cfg["spp"], max_depth=32, chunk_size=cfg["chunk"],
                      spp_chunk=cfg["spp"])
 render_image_host_chunked(scene, bvh, opts)  # warm up / compile
 t0 = time.perf_counter()
 img, n_rays = render_image_host_chunked(scene, bvh, opts)
 dt = time.perf_counter() - t0
-print("RESULT " + json.dumps({
-    "rays": float(n_rays), "seconds": dt,
-    "backend": jax.default_backend(), "device": str(jax.devices()[0]),
-}))
+result("fwd", {"rays": float(n_rays), "seconds": dt})
 """
 
-_BWD_PHASE = _COMMON + r"""
+_BWD_STAGE = r"""
 from montecarlopathtracing_tpu.diff.gradients import SceneParams, apply_params
 from montecarlopathtracing_tpu.integrator.wavefront import render_image_stats
 
@@ -89,23 +113,33 @@ def chunk_loss(p, off):
     return img.mean(), nr
 
 # jax.grad (not value_and_grad): producing the primal alongside the
-# rematerialized backward costs +44% on v5e (measured); gradient descent
-# loops that need the loss should log it from a separate cheap forward.
-gfn = jax.jit(jax.grad(lambda p, off: chunk_loss(p, off)[0]))
-rays_fn = jax.jit(lambda p, off: chunk_loss(p, off)[1])
-g = gfn(params, 0)
-jax.block_until_ready(g.kd)  # compile
-rays_c = float(rays_fn(params, 0))
+# rematerialized backward costs +44% on v5e (measured); has_aux rides the
+# rays count out of the SAME compiled call (no second compile, no extra
+# backward work — nr is aux, not differentiated).
+gfn = jax.jit(jax.grad(chunk_loss, has_aux=True))
+g, rays_c = gfn(params, 0)
+jax.block_until_ready(g.kd)  # compile + warm
+rays_c = float(rays_c)
 
 n_chunks = max(1, cfg["spp"] // spp_chunk)
 t0 = time.perf_counter()
 acc = None
+rays_total = 0.0
 for k in range(n_chunks):
-    g = gfn(params, 1 + k * spp_chunk)
+    g, nr = gfn(params, 1 + k * spp_chunk)
+    rays_total += float(nr)
     acc = g if acc is None else jax.tree_util.tree_map(lambda a, b: a + b, acc, g)
 jax.block_until_ready(acc.kd)
 dt = time.perf_counter() - t0
-print("RESULT " + json.dumps({"rays": rays_c * n_chunks, "seconds": dt}))
+result("bwd", {"rays": rays_total, "seconds": dt})
+"""
+
+_STATS_STAGE = r"""
+# Measured intersection-test statistics for the roofline estimate: candidate
+# (cluster, subtile) pairs per estimator ray on real sorted wavefronts.
+from montecarlopathtracing_tpu.kernels.cluster import candidate_stats
+result("stats", candidate_stats(scene, RenderOptions(
+    spp=2, max_depth=32, chunk_size=cfg["chunk"]), bvh))
 """
 
 _LARGE_PHASE = r"""
@@ -113,99 +147,206 @@ import json, time, sys
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+cfg = json.loads(sys.argv[1])
+
+def result(name, obj):
+    print("RESULT " + name + " " + json.dumps(obj), flush=True)
+
 from montecarlopathtracing_tpu.scene.builtin import load_builtin_large
-from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+from montecarlopathtracing_tpu.accel.lbvh import build_lbvh_host
 from montecarlopathtracing_tpu.config import RenderOptions
 from montecarlopathtracing_tpu.integrator.wavefront import render_image_host_chunked
-cfg = json.loads(sys.argv[1])
 scene, meta = load_builtin_large(cfg.get("large_tris", 400_000))
-bvh = jax.jit(build_lbvh)(scene)
+bvh = build_lbvh_host(scene)
 jax.block_until_ready(bvh.node_min)
+result("large_setup", {})
 opts = RenderOptions(spp=4, max_depth=32, chunk_size=cfg["chunk"], spp_chunk=2)
 render_image_host_chunked(scene, bvh, opts)  # warm up
 t0 = time.perf_counter()
 img, n_rays = render_image_host_chunked(scene, bvh, opts)
 dt = time.perf_counter() - t0
-print("RESULT " + json.dumps({"rays": float(n_rays), "seconds": dt,
-                              "tris": int(meta.num_faces)}))
+result("large", {"rays": float(n_rays), "seconds": dt,
+                 "tris": int(meta.num_faces)})
 """
 
-_STATS_PHASE = _COMMON + r"""
-# Measured intersection-test statistics for the roofline estimate: candidate
-# (cluster, subtile) pairs per estimator ray on real sorted wavefronts.
-from montecarlopathtracing_tpu.kernels.cluster import candidate_stats
-print("RESULT " + json.dumps(candidate_stats(scene, RenderOptions(
-    spp=2, max_depth=32, chunk_size=cfg["chunk"]), bvh)))
-"""
+_MAIN_PHASE = _COMMON + _FWD_STAGE + _BWD_STAGE + _STATS_STAGE
+_BWD_PHASE = _COMMON + _BWD_STAGE + _STATS_STAGE
 
 
-def _run_phase(code: str, cfg: dict, attempts: int = 2) -> dict:
-    last = ""
-    for k in range(attempts):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", code, json.dumps(cfg)],
-                capture_output=True, text=True, timeout=700,
-            )
-            out, err = proc.stdout, proc.stderr
-        except subprocess.TimeoutExpired as e:  # hung device counts as a failed attempt
-            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-            err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
-            err += "\n[phase timed out after 700s]"
-        for line in out.splitlines():
+class _Phase:
+    """Runs a child script, harvesting incremental RESULT lines; can kill the
+    child at a deadline while keeping everything harvested so far."""
+
+    def __init__(self, code: str, cfg: dict):
+        self.results: dict[str, dict] = {}
+        self.stderr_tail = ""
+        self._proc = subprocess.Popen(
+            [sys.executable, "-u", "-c", code, json.dumps(cfg)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        self._threads = [
+            threading.Thread(target=self._read_out, daemon=True),
+            threading.Thread(target=self._read_err, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _read_out(self):
+        for line in self._proc.stdout:
             if line.startswith("RESULT "):
-                return json.loads(line[len("RESULT "):])
-        last = out[-2000:] + err[-2000:]
-        if k < attempts - 1:
-            time.sleep(120)  # wedged-tunnel recovery window
-    sys.stderr.write(last)
-    raise RuntimeError("bench phase failed")
+                try:
+                    _, name, payload = line.split(" ", 2)
+                    self.results[name] = json.loads(payload)
+                except Exception:
+                    pass
+
+    def _read_err(self):
+        tail = []
+        for line in self._proc.stderr:
+            tail.append(line)
+            tail = tail[-30:]
+        self.stderr_tail = "".join(tail)
+
+    def wait_for(self, names, deadline: float, gate: str | None = None,
+                 gate_deadline: float | None = None) -> bool:
+        """Wait until all of ``names`` arrived, the child exits, or a deadline
+        passes.  If ``gate`` hasn't arrived by ``gate_deadline`` the child is
+        presumed device-wedged and killed early.  Returns True if all names
+        arrived."""
+        while True:
+            if all(n in self.results for n in names):
+                return True
+            if self._proc.poll() is not None:
+                # drain: readers finish on EOF
+                for t in self._threads:
+                    t.join(timeout=5)
+                return all(n in self.results for n in names)
+            now = time.monotonic()
+            if now >= deadline or (
+                gate is not None and gate not in self.results
+                and gate_deadline is not None and now >= gate_deadline
+            ):
+                self.kill()
+                return all(n in self.results for n in names)
+            time.sleep(0.5)
+
+    def kill(self):
+        if self._proc.poll() is None:
+            self._proc.kill()  # exact PID of the child we spawned
+            try:
+                self._proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
+        for t in self._threads:
+            t.join(timeout=5)
 
 
 def main() -> None:
+    budget = float(os.environ.get("MCPT_BENCH_BUDGET", "620"))
+    t_end = time.monotonic() + budget
     cfg = {
         "scene_dir": os.environ.get("MCPT_BENCH_SCENE_DIR", "/root/reference/scene"),
         "scene": os.environ.get("MCPT_BENCH_SCENE", "cornell-box"),
         "spp": int(os.environ.get("MCPT_BENCH_SPP", "16")),
         "chunk": int(os.environ.get("MCPT_BENCH_CHUNK", "65536")),
         "spp_chunk": int(os.environ.get("MCPT_BENCH_SPP_CHUNK", "8")),
+        "large_tris": int(os.environ.get("MCPT_BENCH_LARGE_TRIS", "400000")),
     }
-    fwd = _run_phase(_FWD_PHASE, cfg)
-    bwd = _run_phase(_BWD_PHASE, cfg)
-    try:
-        stats = _run_phase(_STATS_PHASE, cfg, attempts=1)
-    except Exception:
-        stats = {}
-    try:
-        large = _run_phase(_LARGE_PHASE, cfg, attempts=1)
-    except Exception:
-        large = {}
-    fwd_rps = fwd["rays"] / fwd["seconds"]
-    fwdbwd_rps = bwd["rays"] / bwd["seconds"]
+    results: dict[str, dict] = {}
+    notes: dict[str, str] = {}
+
+    def remaining():
+        return t_end - time.monotonic()
+
+    # Main phase: setup gate 240 s (wedged-tunnel bail-out), then the rest of
+    # the phase budget.  Reserve 20 s for the parent's own wrap-up.
+    phase = _Phase(_MAIN_PHASE, cfg)
+    now = time.monotonic()
+    phase.wait_for(
+        ["fwd", "bwd", "stats"],
+        deadline=min(t_end - 20, now + max(60.0, remaining() - 120)),
+        gate="setup", gate_deadline=now + min(240.0, max(60.0, remaining() - 120)),
+    )
+    results.update(phase.results)
+    if phase.stderr_tail and not all(
+        k in results for k in ("fwd", "bwd")
+    ):
+        sys.stderr.write(phase.stderr_tail[-2000:])
+    phase.kill()
+
+    # Missing-stage retry: a fresh process recovers a poisoned device state.
+    if "fwd" in results and "bwd" not in results and remaining() > 200:
+        retry = _Phase(_BWD_PHASE, cfg)
+        now = time.monotonic()
+        retry.wait_for(["bwd", "stats"], deadline=t_end - 20,
+                       gate="setup", gate_deadline=now + min(180.0, remaining() - 40))
+        for k, v in retry.results.items():
+            results.setdefault(k, v)
+        retry.kill()
+
+    # Large-scene stage: opt-in, or when comfortable budget remains.
+    if os.environ.get("MCPT_BENCH_FULL") == "1" or remaining() > 300:
+        large = _Phase(_LARGE_PHASE, cfg)
+        now = time.monotonic()
+        large.wait_for(["large"], deadline=t_end - 15,
+                       gate="large_setup",
+                       gate_deadline=now + min(180.0, max(30.0, remaining() - 60)))
+        results.update(large.results)
+        large.kill()
+
+    # ---- Assemble the one-line report from whatever survived.
+    fwd = results.get("fwd")
+    bwd = results.get("bwd")
+    stats = results.get("stats")
+    large = results.get("large")
+    setup = results.get("setup", {})
+
+    fwd_rps = fwd["rays"] / fwd["seconds"] if fwd else None
+    fwdbwd_rps = bwd["rays"] / bwd["seconds"] if bwd else None
+
+    if fwdbwd_rps is not None:
+        metric = ("cornell-box fwd+bwd rays/s/chip (matched spp/depth; "
+                  "fwd-only in fwd_rays_per_s)")
+        value = round(fwdbwd_rps, 1)
+    elif fwd_rps is not None:
+        metric = "cornell-box FWD-ONLY rays/s/chip (bwd stage failed; see notes)"
+        value = round(fwd_rps, 1)
+        notes["bwd"] = "timeout_or_error"
+    else:
+        metric = "cornell-box rays/s/chip (ALL phases failed; see notes)"
+        value = 0.0
+        notes["fwd"] = notes["bwd"] = "timeout_or_error"
 
     result = {
-        "metric": "cornell-box fwd+bwd rays/s/chip (matched spp/depth; fwd-only in fwd_rays_per_s)",
-        "value": round(fwdbwd_rps, 1),
+        "metric": metric,
+        "value": value,
         "unit": "rays/s",
-        "vs_baseline": round(fwdbwd_rps / PER_CHIP_TARGET, 4),
-        "fwd_rays_per_s": round(fwd_rps, 1),
-        "fwd_seconds": round(fwd["seconds"], 3),
-        "fwdbwd_seconds": round(bwd["seconds"], 3),
-        "bwd_over_fwd": round(fwd_rps / max(fwdbwd_rps, 1e-9), 2),
+        "vs_baseline": round(value / PER_CHIP_TARGET, 4),
         "spp": cfg["spp"],
         "max_depth": 32,
-        "backend": fwd.get("backend", "unknown"),
-        "device": fwd.get("device", "unknown"),
+        "backend": setup.get("backend", "unknown"),
+        "device": setup.get("device", "unknown"),
     }
+    if fwd:
+        result["fwd_rays_per_s"] = round(fwd_rps, 1)
+        result["fwd_seconds"] = round(fwd["seconds"], 3)
+    if bwd:
+        result["fwdbwd_seconds"] = round(bwd["seconds"], 3)
+    if fwd and bwd:
+        result["bwd_over_fwd"] = round(fwd_rps / max(fwdbwd_rps, 1e-9), 2)
     if large:
         result["large_scene_tris"] = large["tris"]
         result["large_scene_rays_per_s"] = round(large["rays"] / large["seconds"], 1)
-    if stats:
+    if stats and fwd:
         tests_per_ray = stats.get("candidates_per_ray", 0.0)
         result["cand_clusters_per_ray"] = round(tests_per_ray, 2)
         result["est_vpu_util"] = round(
             fwd_rps * tests_per_ray / 64.0 * FLOPS_PER_TEST_PANEL / VPU_PEAK_F32, 4
         )
+    if setup:
+        result["setup_seconds"] = setup.get("seconds")
+    if notes:
+        result["notes"] = notes
     print(json.dumps(result))
 
 

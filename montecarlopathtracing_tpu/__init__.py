@@ -9,7 +9,7 @@ Quick start:
 """
 
 from .api import load_scene, render, render_progressive, render_scene
-from .accel.lbvh import BVHArrays, build_lbvh
+from .accel.lbvh import BVHArrays, build_lbvh, build_lbvh_host
 from .config import MODERN, CompatOptions, RenderOptions
 from .film.film import Film, tonemap, write_png
 from .integrator.wavefront import render_image, render_pixels, trace_paths
@@ -19,7 +19,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BVHArrays", "CameraArrays", "CompatOptions", "Film", "MODERN",
-    "RenderOptions", "SceneArrays", "SceneMeta", "build_lbvh", "load_scene",
+    "RenderOptions", "SceneArrays", "SceneMeta", "build_lbvh",
+    "build_lbvh_host", "load_scene",
     "render", "render_image", "render_pixels", "render_progressive",
     "render_scene", "tonemap", "trace_paths", "write_png",
 ]

@@ -77,6 +77,34 @@ def build_lbvh(scene) -> BVHArrays:
     return BVHArrays(node_min=node_min, node_max=node_max)
 
 
+def build_lbvh_host(scene) -> BVHArrays:
+    """NumPy twin of build_lbvh, run on the host.
+
+    Bit-identical node arrays (min/max are exact in f32), but skips the
+    device-program compile entirely — on the tunneled axon TPU a fresh
+    process pays a large remote-compile round trip for even this tiny
+    program, which dominated benchmark/CLI setup time.  Use this for
+    host-driven setup; keep ``build_lbvh`` for in-jit contexts (e.g. the
+    multichip dryrun's traced build).
+    """
+    import numpy as np
+
+    v0 = np.asarray(scene.v0)
+    v1 = np.asarray(scene.v1)
+    v2 = np.asarray(scene.v2)
+    valid = np.asarray(scene.tri_valid)[:, None]
+    big = np.float32(1e30)
+    leaf_min = np.where(valid, np.minimum(np.minimum(v0, v1), v2), big)
+    leaf_max = np.where(valid, np.maximum(np.maximum(v0, v1), v2), -big)
+    mins, maxs = [leaf_min], [leaf_max]
+    while mins[0].shape[0] > 1:
+        mins.insert(0, np.min(mins[0].reshape(-1, 2, 3), axis=1))
+        maxs.insert(0, np.max(maxs[0].reshape(-1, 2, 3), axis=1))
+    node_min = np.concatenate([np.full((1, 3), big, np.float32)] + mins, axis=0)
+    node_max = np.concatenate([np.full((1, 3), -big, np.float32)] + maxs, axis=0)
+    return BVHArrays(node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max))
+
+
 def _advance(k):
     """Next subtree in preorder: strip trailing 1-bits (pop while right child),
     then step to the sibling. Returns 0 (done sentinel) past the root.

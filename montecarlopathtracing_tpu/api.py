@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 import jax
 import numpy as np
 
-from .accel.lbvh import BVHArrays, build_lbvh
+from .accel.lbvh import BVHArrays, build_lbvh_host
 from .config import RenderOptions
 from .film.film import Film, load_checkpoint, output_name, save_checkpoint, tonemap, write_png
 from .integrator.wavefront import render_image
@@ -49,7 +49,7 @@ def render(scene: SceneArrays, options: Optional[RenderOptions] = None,
     """Render to a (H,W,3) float32 radiance image (pre-tonemap)."""
     options = options or RenderOptions()
     if bvh is None:
-        bvh = jax.jit(build_lbvh)(scene)
+        bvh = build_lbvh_host(scene)
     return render_image(scene, bvh, options)
 
 
@@ -66,11 +66,19 @@ def render_progressive(scene: SceneArrays, options: RenderOptions,
     accumulation order, and resuming with a different spp_chunk changes
     nothing."""
     if bvh is None:
-        bvh = jax.jit(build_lbvh)(scene)
+        bvh = build_lbvh_host(scene)
     if film is None:
         if checkpoint_path and os.path.exists(checkpoint_path):
-            film = load_checkpoint(checkpoint_path)
-            log.info("resumed film at %s samples", float(film.n_samples))
+            try:
+                film = load_checkpoint(checkpoint_path)
+                log.info("resumed film at %s samples", float(film.n_samples))
+            except Exception as exc:
+                # SURVEY.md §5.3 failure recovery: a corrupt/truncated
+                # checkpoint (crash mid-save) must not wedge the render —
+                # sample_offset keying makes starting over idempotent.
+                log.warning("checkpoint %s unreadable (%s); restarting render",
+                            checkpoint_path, exc)
+                film = Film.zeros(scene.camera.height, scene.camera.width)
         else:
             film = Film.zeros(scene.camera.height, scene.camera.width)
     done = int(np.asarray(film.n_samples))
@@ -98,7 +106,7 @@ def render_scene(scene_dir: str, name: str, spp: int = 25,
 
     t0 = time.perf_counter()
     scene, meta = load_scene(scene_dir, name, options)
-    bvh = jax.jit(build_lbvh)(scene)
+    bvh = build_lbvh_host(scene)
     jax.block_until_ready(bvh.node_min)
     t1 = time.perf_counter()
     log.info("Phase 1 (read scene + bvh build) time cost = %.1f ms", (t1 - t0) * 1e3)

@@ -111,12 +111,12 @@ def main(argv=None) -> int:
     if args.mesh_tile:
         import jax
 
-        from .accel.lbvh import build_lbvh
+        from .accel.lbvh import build_lbvh_host
         from .parallel.mesh import make_mesh, render_image_sharded_jit
 
         scene, meta = load_checked(opts)
         with profile_ctx:
-            bvh = jax.jit(build_lbvh)(scene)
+            bvh = build_lbvh_host(scene)
             mesh = make_mesh(tile=args.mesh_tile, spp=args.mesh_spp)
             img = render_image_sharded_jit(scene, bvh, opts, mesh)
             jax.block_until_ready(img)
@@ -128,12 +128,12 @@ def main(argv=None) -> int:
     if args.spp_chunk:
         import jax
 
-        from .accel.lbvh import build_lbvh
+        from .accel.lbvh import build_lbvh_host
 
         opts = opts.replace(spp_chunk=args.spp_chunk)
         scene, meta = load_checked(opts)
         with profile_ctx:
-            bvh = jax.jit(build_lbvh)(scene)
+            bvh = build_lbvh_host(scene)
             film = render_progressive(scene, opts, bvh,
                                       checkpoint_path=args.checkpoint)
         path = output_name(args.out_dir, args.name, args.spp)

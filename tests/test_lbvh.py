@@ -7,7 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from montecarlopathtracing_tpu.accel.lbvh import (
-    BIG, brute_force_intersect, build_lbvh, bvh_intersect, _advance,
+    BIG, brute_force_intersect, build_lbvh, build_lbvh_host, bvh_intersect,
+    _advance,
 )
 from tests.conftest import random_rays
 
@@ -45,6 +46,15 @@ def test_leaves_bound_triangles(box_scene, box_bvh):
         assert np.all(a[valid] <= nmax[valid] + 1e-6)
     # padding leaves are empty
     assert np.all(nmin[~valid] > nmax[~valid])
+
+
+def test_host_build_matches_jit_build(box_scene, box_bvh):
+    """build_lbvh_host (NumPy, no device compile) must be bit-identical to
+    the jittable build — min/max unions are exact in f32."""
+    scene, _ = box_scene
+    host = build_lbvh_host(scene)
+    assert np.array_equal(np.asarray(host.node_min), np.asarray(box_bvh.node_min))
+    assert np.array_equal(np.asarray(host.node_max), np.asarray(box_bvh.node_max))
 
 
 def test_advance_walks_preorder():
