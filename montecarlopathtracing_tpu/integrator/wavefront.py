@@ -89,10 +89,12 @@ def _tile_swizzled_ids(h: int, w: int, packet_size: int):
 @functools.lru_cache(maxsize=64)
 def _swizzle_pixel_fn(h: int, w: int, packet_size: int):
     """Arithmetic twin of _tile_swizzled_ids: maps a slot index to its pixel
-    id with shifts/masks (or one integer divide for non-pow2 shapes) instead
-    of a (R,) table gather — TPU scalar-gathers cost ~7 ns/row, ~0.5 ms per
-    refill iteration at 64k lanes.  lru_cached so the returned callable is a
-    stable jit static argument."""
+    id with shifts/masks (pow2 tile counts) or a float-reciprocal multiply
+    with compare-subtract correction (non-pow2, e.g. w=1280 ts=8 => ntx=160)
+    instead of a (R,) table gather — TPU scalar-gathers cost ~7 ns/row,
+    ~0.5 ms per refill iteration at 64k lanes, and per-lane integer div/mod
+    is an equally slow multi-op VPU sequence.  lru_cached so the returned
+    callable is a stable jit static argument."""
     ts = int(np.sqrt(packet_size))
     n = h * w
     if ts * ts != packet_size or (h < ts and w < ts):
@@ -103,7 +105,18 @@ def _swizzle_pixel_fn(h: int, w: int, packet_size: int):
         if b & (b - 1) == 0:
             sh = b.bit_length() - 1
             return a >> sh, a & (b - 1)
-        return a // b, a % b
+        # Exact unsigned divide by the constant b: f32 reciprocal estimate
+        # (error < 1 for the slot ranges here: a < 2^22, 24-bit mantissa),
+        # then one compare-subtract correction in each direction.
+        q = jnp.floor(a.astype(jnp.float32) * np.float32(1.0 / b)).astype(jnp.int32)
+        r = a - q * b
+        over = r >= b
+        q = jnp.where(over, q + 1, q)
+        r = jnp.where(over, r - b, r)
+        under = r < 0
+        q = jnp.where(under, q - 1, q)
+        r = jnp.where(under, r + b, r)
+        return q, r
 
     def fn(slot):
         tile, within = div(slot, ts * ts)
@@ -128,7 +141,9 @@ def resolve_intersector(opts: RenderOptions) -> str:
 
 def resolve_plan(opts: RenderOptions, num_tris: int):
     """The intersector that will actually run for this (options, scene) pair:
-    ('cluster'|'cluster_interpret', width, group) or (kind, None, None).
+    a 4-tuple ('cluster'|'cluster_interpret', width, group, n_chunks) for the
+    Pallas kernel (n_chunks > 1 = chunked VMEM tables), or
+    (kind, None, None, 1) for the XLA fallbacks.
 
     A cluster request (explicit or via 'auto') falls back to the XLA packet
     walk when the scene exceeds the VMEM-resident table budget; an EXPLICIT
@@ -705,9 +720,10 @@ def render_pixels_refill(
       every ``spp`` iterations under ``lax.cond`` — safe because a pixel
       takes >= spp iterations (each sample needs >= 1), so a lane cannot
       complete two pixels between flushes.  The dummy index for non-pending
-      lanes is ``n_pix + lane``, keeping every flush's index set unique (the
-      film is allocated with r spill rows that are sliced off at the end).
-      Replaces a full-width scatter-add EVERY iteration (~3.4 ms/iter).
+      lanes is ``n_pix + lane`` — out of bounds for the (n_pix, 3) film, so
+      the ``mode='drop'`` scatter skips those rows while keeping every
+      flush's index set unique.  Replaces a full-width scatter-add EVERY
+      iteration (~3.4 ms/iter).
     * **In-lane primary-hit reuse** (compat mode): every sample of a pixel
       shoots the IDENTICAL primary ray (quirk #1, MTPC/pathTracing.cpp:
       305-309), so the first sample's hit (t, tri, hit) is cached in lane
@@ -1190,6 +1206,7 @@ def render_image_host_chunked(
     bvh: BVHArrays,
     opts: RenderOptions,
     progress=None,
+    retries: int = 0,
 ):
     """Full-frame render dispatched as one device execution per
     (pixel-chunk, spp-chunk) from the host.
@@ -1198,6 +1215,11 @@ def render_image_host_chunked(
     program is short — required on fronted/tunneled TPUs that cap single
     execution wall time, and it gives natural progress/checkpoint points
     (SURVEY.md §5.3/§5.4: a failed chunk is re-renderable idempotently).
+    ``retries`` > 0 turns that idempotence into an automated recovery path:
+    a dispatch that raises (transient device fault) is re-issued up to
+    ``retries`` times — the chunk's sample set is keyed by
+    (pixel, absolute sample index), so the retry renders exactly the same
+    samples and the film is unaffected by the failure.
 
     In refill mode (the forward default) each dispatch drains the whole
     frame's queue for a slice of spp_chunk samples; otherwise each dispatch
@@ -1211,6 +1233,17 @@ def render_image_host_chunked(
     ids_np = _tile_swizzled_ids(h, w, swizzle_tile(opts, scene.num_tris_padded))
     spp_chunk = max(1, min(opts.spp_chunk, opts.spp))
 
+    def dispatch(fn, *args, **kw):
+        for attempt in range(retries + 1):
+            try:
+                out = fn(*args, **kw)
+                jax.block_until_ready(out[0])  # surface async device faults here
+                return out
+            except Exception:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
+
     if opts.refill:
         ids = jnp.asarray(ids_np)
         acc = None
@@ -1220,7 +1253,8 @@ def render_image_host_chunked(
         step = 0
         while done < opts.spp:
             k = min(spp_chunk, opts.spp - done)
-            rad, rays = _render_refill_jit(
+            rad, rays = dispatch(
+                _render_refill_jit,
                 scene, bvh, opts.replace(spp=k), ids,
                 sample_offset=done, lanes=chunk,
                 pixel_fn=_swizzle_pixel_fn(
@@ -1253,8 +1287,9 @@ def render_image_host_chunked(
         while done < opts.spp:
             k = min(spp_chunk, opts.spp - done)
             part_opts = opts.replace(spp=k)
-            rad, rays = _render_chunk_jit(
-                scene, bvh, part_opts, ids, sample_offset=done
+            rad, rays = dispatch(
+                _render_chunk_jit, scene, bvh, part_opts, ids,
+                sample_offset=done,
             )
             acc = rad * k if acc is None else acc + rad * k
             total_rays += float(rays)

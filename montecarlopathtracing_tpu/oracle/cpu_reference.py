@@ -57,25 +57,34 @@ def _intersect_brute(s, o, d, compat: bool = True):
     plane+sign test; compat=False: Moller-Trumbore (modern mode, twin of
     ops.intersect.ray_triangle_mt)."""
     p0, p1, p2, gn = s["v0"], s["v1"], s["v2"], s["geom_n"]
+    # Both tests are evaluated through per-triangle constants so every term
+    # is a (R,3)@(3,T) BLAS matmul — no (R,T,3) f64 temporaries (those made
+    # the old einsum/cross form memory-bound, ~20x slower at veach scale).
+    # Algebraically identical predicates (cross(a, p-b).n == (p-b).(n x a)),
+    # f64 throughout; only ~1e-16-scale rounding differs from the literal
+    # cross-product form, far below every oracle tolerance.
     with np.errstate(divide="ignore", invalid="ignore"):
         if compat:
-            denom = np.einsum("td,rd->rt", gn, d)
-            t = np.einsum("rtd,td->rt", p0[None] - o[:, None], gn) / denom
-            p = o[:, None] + d[:, None] * t[..., None]
-            c1 = np.einsum("rtd,td->rt", np.cross(p1 - p0, p - p0[None]), gn)
-            c2 = np.einsum("rtd,td->rt", np.cross(p2 - p1, p - p1[None]), gn)
-            c3 = np.einsum("rtd,td->rt", np.cross(p0 - p2, p - p2[None]), gn)
+            denom = d @ gn.T                                    # n.d  (R,T)
+            t = ((p0 * gn).sum(1)[None] - o @ gn.T) / denom     # plane solve
+            cs = []
+            for a, b in ((p1 - p0, p0), (p2 - p1, p1), (p0 - p2, p2)):
+                m = np.cross(gn, a)                             # (T,3) const
+                k = (b * m).sum(1)                              # (T,)
+                cs.append(o @ m.T + t * (d @ m.T) - k[None])    # (R,T)
+            c1, c2, c3 = cs
             hit = (c1 * c2 >= 0) & (c1 * c3 >= 0) & (c2 * c3 >= 0)
         else:
             e1, e2 = p1 - p0, p2 - p0
-            pvec = np.cross(d[:, None], e2[None])           # (R,T,3)
-            det = np.einsum("td,rtd->rt", e1, pvec)
+            n_raw = np.cross(e1, e2)                            # (T,3)
+            ku = np.cross(p0, e2)
+            kv = np.cross(e1, p0)
+            w = np.cross(o, d)                                  # (R,3)
+            det = -(d @ n_raw.T)
             inv_det = 1.0 / det
-            tvec = o[:, None] - p0[None]
-            u = np.einsum("rtd,rtd->rt", tvec, pvec) * inv_det
-            qvec = np.cross(tvec, e1[None])
-            v = np.einsum("rd,rtd->rt", d, qvec) * inv_det
-            t = np.einsum("td,rtd->rt", e2, qvec) * inv_det
+            t = (o @ n_raw.T - (p0 * n_raw).sum(1)[None]) * inv_det
+            u = (w @ e2.T + d @ ku.T) * inv_det
+            v = (-(w @ e1.T) + d @ kv.T) * inv_det
             hit = (u >= 0) & (v >= 0) & (u + v <= 1)
     hit &= np.isfinite(t) & (t > 0) & s["tri_valid"][None]
     t = np.where(hit, t, np.inf)

@@ -150,15 +150,19 @@ def load_builtin_box(options: Optional[RenderOptions] = None, name: str = "box",
 
 def load_builtin_large(n_tris: int = 400_000,
                        options: Optional[RenderOptions] = None,
-                       width: int = 1024, height: int = 1024, seed: int = 0):
+                       width: int = 1280, height: int = 720, seed: int = 0,
+                       n_materials: int = 96, n_textures: int = 8):
     """Procedural bedroom-class workload: a closed room filled with a grid of
     UV-sphere 'props' on a textured floor, one area light — ~``n_tris``
     triangles (the reference's largest artifact is the unshipped 1280x720
-    bedroom, result/bedroom-SPP256.png; this is the stand-in large scene for
-    exercising/benchmarking the >VMEM-table intersector path).  Geometry sits
-    inside the compat Morton bounds [-1, 4].  Built directly as parsed
-    buffers (no OBJ text round-trip) and fed through the normal build_scene
-    pipeline (Morton sort, gap clustering, light CDFs).
+    bedroom, result/bedroom-SPP256.png and README.md:20-21; same resolution
+    and non-square aspect here by default).  Exercises the full workload
+    envelope the small scenes miss: ``n_materials`` >= 96 materials (past the
+    64-material one-hot-matmul cutoff in wavefront._material_rows, forcing
+    the gather path) and a multi-texture atlas of ``n_textures`` images of
+    mixed extents.  Geometry sits inside the compat Morton bounds [-1, 4].
+    Built directly as parsed buffers (no OBJ text round-trip) and fed through
+    the normal build_scene pipeline (Morton sort, gap clustering, light CDFs).
 
     Returns (scene, meta).
     """
@@ -195,6 +199,7 @@ def load_builtin_large(n_tris: int = 400_000,
 
     # Sphere props: grid sized so total triangles ~ n_tris.
     # One UV sphere with S stacks: 2*S*S triangles.
+    n_prop_mats = max(4, n_materials - 3)
     S = 12
     per = 2 * S * S
     n_spheres = max(1, (n_tris - len(face_mat)) // per)
@@ -224,7 +229,7 @@ def load_builtin_large(n_tris: int = 400_000,
             for t1, t2, t3 in ((a_, b_, c_), (a_, c_, d_)):
                 face_v.extend(zip(b + t1, b + t2, b + t3))
                 face_vn.extend(zip(b + t1, b + t2, b + t3))
-            face_mat.extend([3 + (placed % 4)] * (2 * S * S))
+            face_mat.extend([3 + (placed % n_prop_mats)] * (2 * S * S))
             placed += 1
 
     mats = []
@@ -237,14 +242,23 @@ def load_builtin_large(n_tris: int = 400_000,
     mats.append(wall)
     light = MaterialRecord("Light")
     mats.append(light)
-    palette = [(0.7, 0.2, 0.2), (0.2, 0.6, 0.25), (0.25, 0.3, 0.7), (0.7, 0.6, 0.2)]
-    for i, c in enumerate(palette):
-        m = MaterialRecord(f"Prop{i}")
-        m.kd = np.array(c)
-        if i == 3:
-            m.ks = np.array([0.4, 0.4, 0.4])
-            m.ns = 200.0
-        mats.append(m)
+    # Prop materials: a deterministic spread of diffuse albedos, every 5th
+    # glossy (Phong Ns 50..800), every (n_prop_mats // max(n_extra_tex, 1))-th
+    # textured — so a bedroom-class instance exercises the >64-material
+    # gather path AND a multi-texture atlas of mixed extents.
+    n_extra_tex = max(0, n_textures - 1)  # beyond the cherry-wood floor
+    mat_rng = np.random.default_rng(seed + 1)
+    tex_stride = max(1, n_prop_mats // n_extra_tex) if n_extra_tex else 0
+    for i in range(n_prop_mats):
+        mrec = MaterialRecord(f"Prop{i}")
+        hue = mat_rng.uniform(size=3)
+        mrec.kd = np.asarray(0.15 + 0.7 * hue / max(hue.sum(), 1e-6))
+        if i % 5 == 4:
+            mrec.ks = np.array([0.3, 0.3, 0.3])
+            mrec.ns = float(mat_rng.choice([50.0, 200.0, 800.0]))
+        if n_extra_tex and i % tex_stride == 0 and i // tex_stride < n_extra_tex:
+            mrec.map_kd = f"prop-tex-{i // tex_stride}.png"
+        mats.append(mrec)
 
     vs = np.asarray(verts, np.float64)
     vns_arr = np.asarray(vnorms, np.float64)
@@ -267,5 +281,19 @@ def load_builtin_large(n_tris: int = 400_000,
             shutil.copy(tex, d)
         else:
             floor.map_kd = None
+        # Deterministic procedural prop textures at mixed extents (128/256):
+        # distinct per-texture stripes/checker phases so atlas offsets are
+        # testable, non-uniform sizes so per-material (offset, h, w) rows are
+        # actually exercised.
+        from PIL import Image
+
+        for k in range(n_extra_tex):
+            side = 128 if k % 2 == 0 else 256
+            yy, xx = np.mgrid[0:side, 0:side]
+            img = np.zeros((side, side, 3), np.uint8)
+            img[..., 0] = (127 + 120 * np.sin((xx + 7 * k) * 0.21)).astype(np.uint8)
+            img[..., 1] = (((yy >> (3 + k % 3)) + (xx >> (3 + k % 3))) % 2) * 180 + 40
+            img[..., 2] = (40 + 25 * k) % 256
+            Image.fromarray(img).save(os.path.join(d, f"prop-tex-{k}.png"))
         return build_scene(d, "large", options or RenderOptions(),
                            parsed=(mats, mat_index, obj, cam, lights))

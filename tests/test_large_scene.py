@@ -84,7 +84,12 @@ def test_medium_scene_intersect():
 def test_builtin_large_scene_renders():
     """The procedural bedroom-class generator (scene/builtin.py) builds and
     renders through the normal pipeline (small instance for CPU CI; the TPU
-    chunked-cluster path over it is benchmarked in bench.py)."""
+    chunked-cluster path over it is benchmarked in bench.py).
+
+    The default instance must exercise the workload envelope of the
+    reference's bedroom artifact (result/bedroom-SPP256.png, README.md:20-21):
+    >64 materials (the gather branch of wavefront._material_rows — the
+    one-hot-matmul fast path cuts off at 64) and a multi-texture atlas."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -94,12 +99,44 @@ def test_builtin_large_scene_renders():
     from montecarlopathtracing_tpu.integrator.wavefront import render_pixels
     from montecarlopathtracing_tpu.scene.builtin import load_builtin_large
 
-    scene, meta = load_builtin_large(30_000, width=32, height=32)
+    scene, meta = load_builtin_large(30_000, width=48, height=32)
     assert meta.num_faces > 25_000
     assert scene.num_lights == 1
+    assert scene.num_materials > 64          # gather material path
+    assert int(np.asarray(scene.has_texture).sum()) >= 8  # multi-texture atlas
+    assert len(set(np.asarray(scene.tex_offset)[
+        np.asarray(scene.has_texture)].tolist())) >= 8    # distinct blocks
     bvh = jax.jit(build_lbvh)(scene)
-    ids = jnp.arange(32 * 32, dtype=jnp.int32)
+    ids = jnp.arange(48 * 32, dtype=jnp.int32)
     rad, _ = render_pixels(scene, bvh, RenderOptions(spp=2, max_depth=6), ids)
     rad = np.asarray(rad)
     assert np.isfinite(rad).all()
     assert rad.mean() > 0.01  # lit scene, non-black
+
+
+def test_material_rows_gather_matches_matmul():
+    """wavefront._material_rows: the >64-material gather branch must return
+    exactly what the <=64 one-hot-matmul branch returns (the matmul runs at
+    Precision.HIGHEST specifically so the two agree bitwise)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from montecarlopathtracing_tpu.integrator.wavefront import (
+        _material_rows, _shading_tables)
+    from montecarlopathtracing_tpu.scene.builtin import load_builtin_large
+
+    scene, _ = load_builtin_large(2_000, width=8, height=8, n_materials=96)
+    assert scene.num_materials > 64
+    _, mtab = _shading_tables(scene)
+    rng = np.random.default_rng(0)
+    mat = jnp.asarray(rng.integers(0, scene.num_materials, 257).astype(np.int32))
+    via_gather = _material_rows(scene, mtab, mat)  # m > 64: gather branch
+
+    class _Small:  # force the one-hot branch on the same table
+        num_materials = 64
+    sel = mat % 64
+    via_matmul = _material_rows(_Small, mtab[:64], sel)
+    np.testing.assert_array_equal(
+        np.asarray(mtab[sel]), np.asarray(via_matmul))
+    np.testing.assert_array_equal(
+        np.asarray(via_gather), np.asarray(mtab[mat]))

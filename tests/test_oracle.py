@@ -93,6 +93,49 @@ def test_modern_mode_matches_oracle(box_scene, box_bvh):
     assert (rel.max(axis=1) < 1e-2).mean() > 0.98
 
 
+def _interior_pixel_mask(scene, ids, margin=1e-3):
+    """Pixels whose compat lattice-corner primary ray hits a triangle
+    INTERIOR (all barycentric coords > margin).  Quirk #1 shoots every sample
+    through the pixel's lattice corner; on axis-aligned geometry some of
+    those rays hit shared triangle edges EXACTLY, where f32 hit
+    classification legitimately varies with FP contraction between
+    compilation contexts (CLAUDE.md compat caveat) — so edge-grazing lanes
+    are excluded from cross-context compat comparisons."""
+    import jax
+    from montecarlopathtracing_tpu.accel.lbvh import brute_force_intersect
+    from montecarlopathtracing_tpu.integrator.camera import primary_rays
+    from montecarlopathtracing_tpu.ops.intersect import barycentric
+
+    o, d = primary_rays(scene.camera, jnp.asarray(ids))
+    hit, t, tri = jax.jit(
+        lambda o, d: brute_force_intersect(scene, o, d))(o, d)
+    p = o + d * jnp.where(hit, t, 0.0)[:, None]
+    tri_c = jnp.maximum(tri, 0)
+    bary = barycentric(p, scene.v0[tri_c], scene.v1[tri_c], scene.v2[tri_c])
+    return np.asarray(hit & (jnp.min(bary, axis=1) > margin))
+
+
+def test_compat_refill_matches_oracle(box_scene, box_bvh):
+    """The SHIPPED DEFAULT path — compat semantics + refill=True — against
+    the f64 oracle directly (round-2 VERDICT weak #6: compat refill was only
+    transitively validated via refill-vs-scan in MODERN mode).  Restricted to
+    interior pixels, where the compat lattice-corner primaries are immune to
+    cross-compilation-context FP-contraction flips."""
+    scene, _ = box_scene
+    opts = RenderOptions(spp=4, max_depth=6, chunk_size=256, refill=True)
+    n = scene.camera.width * scene.camera.height
+    ids = np.arange(n, dtype=np.int32)
+    interior = _interior_pixel_mask(scene, ids)
+    assert interior.mean() > 0.5  # the filter must keep most of the frame
+
+    got, _ = render_pixels(scene, box_bvh, opts, jnp.asarray(ids))
+    want = oracle_render_pixels(scene, opts, ids)
+    got = np.asarray(got, np.float64)
+    rel = (np.abs(got - want) / np.maximum(np.abs(want), 1e-2))[interior]
+    assert np.median(rel) < 1e-4, np.median(rel)
+    assert (rel.max(axis=1) < 1e-2).mean() > 0.98
+
+
 def test_modern_refill_matches_oracle(box_scene, box_bvh):
     """The DEFAULT renderer (refill=True) against the oracle directly (the
     round-1 ADVICE finding: every oracle test pinned refill=False).  Modern

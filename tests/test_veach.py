@@ -41,17 +41,45 @@ def test_veach_structure(veach):
     assert areas.max() / areas.min() > 100
 
 
+def _plate_pixel_ids(scene, per_plate=160, seed=3):
+    """>= 4*per_plate pixel ids whose primary rays hit each of the four
+    glossy plates (Ns 100000/10000/1000/300 — veach-mis.mtl:6-25), found by
+    intersecting a subsampled primary grid.  Self-adapting: no hardcoded
+    image rows."""
+    import jax
+    from montecarlopathtracing_tpu.accel.lbvh import packet_intersect
+    from montecarlopathtracing_tpu.integrator.camera import primary_rays
+
+    h, w = scene.camera.height, scene.camera.width
+    rng = np.random.default_rng(seed)
+    probe = rng.choice(h * w, size=16384, replace=False).astype(np.int32)
+    bvh = build_lbvh(scene)
+    o, d = primary_rays(scene.camera, jnp.asarray(probe))
+    hit, _, tri = jax.jit(
+        lambda o, d: packet_intersect(bvh, scene, o, d))(o, d)
+    mat = np.asarray(scene.mat_id)[np.maximum(np.asarray(tri), 0)]
+    ns = np.asarray(scene.ns)[mat]
+    hit = np.asarray(hit)
+    picked = []
+    for plate_ns in (100000.0, 10000.0, 1000.0, 300.0):
+        cand = probe[hit & (np.abs(ns - plate_ns) < 0.5)]
+        assert cand.size >= per_plate, (plate_ns, cand.size)
+        picked.append(cand[:per_plate])
+    return np.concatenate(picked)
+
+
 def test_veach_matches_oracle(veach):
-    """Center-strip pixels (glossy plates + lights) against the f64 oracle."""
+    """All four glossy plates (Ns 300..100000) against the f64 oracle at
+    realistic depth — exercises the Phong lobe at extreme exponents, the
+    5-light NEE loop, the frozen-light-pick fall-through (quirk #4), and the
+    specular emitter-hit path, per round-2 VERDICT item 6 (the old version
+    covered 128 pixels of one row at spp 2, depth 3)."""
     scene, _ = veach
     bvh = build_lbvh(scene)
-    w = scene.camera.width
-    # a row crossing the glossy plates
-    row = int(scene.camera.height * 0.55)
-    ids = jnp.asarray(np.arange(w // 2 - 64, w // 2 + 64, dtype=np.int32) + row * w)
-    opts = RenderOptions(spp=2, max_depth=3, chunk_size=128, refill=False)
-    got, _ = render_pixels(scene, bvh, opts, ids)
-    want = oracle_render_pixels(scene, opts, np.asarray(ids))
+    ids = _plate_pixel_ids(scene)  # 640 pixels spanning the four plates
+    opts = RenderOptions(spp=8, max_depth=6, chunk_size=1024, refill=False)
+    got, _ = render_pixels(scene, bvh, opts, jnp.asarray(ids))
+    want = oracle_render_pixels(scene, opts, ids)
     got = np.asarray(got, np.float64)
     rel = np.abs(got - want) / (np.abs(want) + 1e-4)
     assert np.median(rel) < 1e-4

@@ -24,5 +24,5 @@ python gen_texture.py "$SCRATCH/cherry-wood-texture.jpg"
 cp "$SCRATCH/cherry-wood-texture.jpg" ../../tests/golden/
 cd "$SCRATCH"
 OMP_NUM_THREADS=8 "$OLDPWD/refbin" ./ cornell-box 64 "$OLDPWD/../../tests/golden/ref-cornell-box-SPP64.png"
-OMP_NUM_THREADS=8 "$OLDPWD/refbin" ./ veach-mis 32 "$OLDPWD/../../tests/golden/ref-veach-mis-SPP32.png"
+OMP_NUM_THREADS=8 "$OLDPWD/refbin" ./ veach-mis 64 "$OLDPWD/../../tests/golden/ref-veach-mis-SPP64.png"
 rm -rf "$SCRATCH"
