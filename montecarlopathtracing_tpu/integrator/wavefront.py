@@ -764,6 +764,16 @@ def render_pixels_refill(
     # Unique OUT-OF-BOUNDS dummies: mode='drop' skips these rows in the film
     # flush, so only lanes with a real completed pixel pay scatter work.
     dummy_slot = jnp.int32(n_pix) + lane_iota
+    # Pending-slot depth: each lax.cond flush fire costs ~5 ms at a 1M-pixel
+    # film (the cond's film branch copy runs at scatter speed), and a lane
+    # can complete a pixel every spp iterations — so at low spp the old
+    # flush-every-spp cadence fired 2-16x more often than at spp 16 (the
+    # measured ~40% low-spp throughput gap, round-2 VERDICT item 3).  Giving
+    # each lane n_pend staging slots stretches the safe cadence to
+    # n_pend * spp iterations at the price of a slightly larger sort payload.
+    n_pend = 1 if differentiable else max(1, min(8, -(-16 // spp)))
+    dummy_pend = (jnp.int32(n_pix) + lane_iota[:, None] * n_pend
+                  + jnp.arange(n_pend, dtype=jnp.int32)[None, :])  # (r, P)
 
     def primary_for(pix, keys):
         jitter = None if compat.no_pixel_jitter else rng.primary_uniforms(keys)
@@ -810,7 +820,7 @@ def render_pixels_refill(
         """
         (q, n_rays, active, slot, pix, samp, samp_left, keys, depth, kind,
          was_fresh, hit_a, t_a, tri_a, prim_ok, prim_hit, prim_t, prim_tri,
-         pend_slot, *fvec) = state
+         pend_slot, pend_count, *fvec) = state
         origin, direction, beta, rad, pend_rad = unpack_f(tuple(fvec))
 
         # n_rays counts estimator-level segments (what the reference would
@@ -924,7 +934,8 @@ def render_pixels_refill(
              ct_p), \
                 (slot, pix, samp, samp_left, keys, depth, kind, active,
                  was_fresh, prim_ok, prim_hit, prim_tri, pend_slot,
-                 shade, take, pixel_done, slot_done, ok_p, smat_p) = _permute_rows(
+                 pend_count, shade, take, pixel_done, slot_done, ok_p,
+                 smat_p) = _permute_rows(
                     perm,
                     (origin, direction, beta, rad, pend_rad,
                      jnp.stack([prim_t] + [dist_n[i] for i in range(l)],
@@ -934,7 +945,7 @@ def render_pixels_refill(
                      contrib.transpose(1, 0, 2).reshape(r, 3 * l)),
                     (slot, pix, samp, samp_left, keys, depth, kind, active,
                      was_fresh, prim_ok, prim_hit, prim_tri, pend_slot,
-                     shade, take, pixel_done, slot_done,
+                     pend_count, shade, take, pixel_done, slot_done,
                      ok_n.T.astype(jnp.int32) if l > 1 else ok_n[0],
                      smat_n.T if l > 1 else smat_n[0]),
                 )
@@ -974,10 +985,18 @@ def render_pixels_refill(
         # instead stages into the pend registers just below.
         flush_slot = slot_done
         flush_rad = jnp.where(pixel_done[:, None], rad, 0.0)
-        # Stage completed pixel sums in lane registers; flushed before this
-        # lane can complete another pixel (>= spp iterations away).
-        pend_slot = jnp.where(pixel_done, slot_done, pend_slot)
-        pend_rad = jnp.where(pixel_done[:, None], rad, pend_rad)
+        # Stage completed pixel sums into the lane's next free pending slot;
+        # a lane completes at most one pixel per spp iterations, so n_pend
+        # slots are flushed before any can be overwritten (cadence
+        # n_pend * spp below).
+        pc = jnp.minimum(pend_count, n_pend - 1)
+        stage = ((jnp.arange(n_pend, dtype=jnp.int32)[None, :] == pc[:, None])
+                 & pixel_done[:, None])  # (r, P)
+        pend_slot = jnp.where(stage, slot_done[:, None], pend_slot)
+        pr3 = jnp.where(stage[:, :, None], rad[:, None, :],
+                        pend_rad.reshape(r, n_pend, 3))
+        pend_rad = pr3.reshape(r, 3 * n_pend)
+        pend_count = pend_count + pixel_done.astype(jnp.int32)
         rad = jnp.where(take[:, None], 0.0, rad)  # next_samp keeps the sum
 
         # Arrival carry for the next iteration: fresh traversal results, or
@@ -988,7 +1007,7 @@ def render_pixels_refill(
 
         return ((q, n_rays, active, slot, pix, samp, samp_left, keys, depth,
                  kind, was_fresh, hit_a, t_a, tri_a, prim_ok, prim_hit,
-                 prim_t, prim_tri, pend_slot)
+                 prim_t, prim_tri, pend_slot, pend_count)
                 + pack_f(origin, direction, beta, rad, pend_rad),
                 flush_rad, flush_slot)
 
@@ -1015,13 +1034,14 @@ def render_pixels_refill(
         jnp.zeros((r,), bool),             # prim_hit
         jnp.zeros((r,), jnp.float32),      # prim_t
         jnp.zeros((r,), jnp.int32),        # prim_tri
-        dummy_slot,                        # pend_slot
+        dummy_pend,                        # pend_slot (r, n_pend)
+        jnp.zeros((r,), jnp.int32),        # pend_count
     ) + pack_f(
         o0,
         d0,
         jnp.ones((r, 3), jnp.float32),     # beta
         jnp.zeros((r, 3), jnp.float32),    # rad
-        jnp.zeros((r, 3), jnp.float32),    # pend_rad
+        jnp.zeros((r, 3 * n_pend), jnp.float32),  # pend_rad
     )
 
     if differentiable:
@@ -1053,15 +1073,15 @@ def render_pixels_refill(
         ].add(rad_out.reshape(-1, 3), mode="drop")
         n_rays = state[1]
     else:
-        flush_every = max(1, spp)
+        flush_every = max(1, n_pend * spp)
 
-        def do_flush(film, pend_slot, pend_rad):
+        def do_flush(film, pend_slot, pend_rad, pend_count):
             # Index set is unique by construction: real slots are owned by
-            # exactly one lane; dummies are n_pix + lane (out of bounds,
-            # dropped).
-            film = film.at[pend_slot].add(pend_rad, unique_indices=True,
-                                          mode="drop")
-            return film, dummy_slot
+            # exactly one (lane, position); dummies are
+            # n_pix + lane * n_pend + position (out of bounds, dropped).
+            film = film.at[pend_slot.reshape(-1)].add(
+                pend_rad.reshape(-1, 3), unique_indices=True, mode="drop")
+            return film, dummy_pend, jnp.zeros((r,), jnp.int32)
 
         def cond(carry):
             i, state, film = carry
@@ -1071,13 +1091,13 @@ def render_pixels_refill(
         def body(carry):
             i, state, film = carry
             state, _, _ = step(state)
-            film, pend_slot = jax.lax.cond(
+            film, pend_slot, pend_count = jax.lax.cond(
                 (i + 1) % flush_every == 0,
                 do_flush,
-                lambda f, ps, pr: (f, ps),
-                film, state[18], state[23],
+                lambda f, ps, pr, pc: (f, ps, pc),
+                film, state[18], state[24], state[19],
             )
-            state = state[:18] + (pend_slot,) + state[19:]
+            state = state[:18] + (pend_slot, pend_count) + state[20:]
             return i + 1, state, film
 
         _, state, film = jax.lax.while_loop(
@@ -1085,7 +1105,7 @@ def render_pixels_refill(
             (jnp.int32(0), state0, jnp.zeros((n_pix, 3), jnp.float32)),
         )
         # Drain pendings staged since the last cadence boundary.
-        film, _ = do_flush(film, state[18], state[23])
+        film, _, _ = do_flush(film, state[18], state[24], state[19])
         n_rays = state[1]
     return film / spp, n_rays
 

@@ -59,3 +59,22 @@ def test_refill_ragged_spp(setup):
     r_refill, _ = render_pixels(scene, bvh, base.replace(refill=True), ids)
     np.testing.assert_allclose(np.asarray(r_scan), np.asarray(r_refill),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("h,w,packet", [
+    (32, 32, 64),      # pow2 everywhere
+    (720, 1280, 64),   # bedroom aspect: ntx=160 (non-pow2 divide path)
+    (33, 47, 64),      # ragged edge tiles
+    (900, 1200, 64),   # veach aspect
+])
+def test_swizzle_pixel_fn_matches_table(h, w, packet):
+    """The arithmetic slot->pixel map (shift/mask or exact reciprocal-
+    multiply divide) must equal the host table for every slot, including
+    clamped edge-tile and non-pow2-tile-count shapes."""
+    from montecarlopathtracing_tpu.integrator.wavefront import (
+        _swizzle_pixel_fn, _tile_swizzled_ids)
+
+    table = _tile_swizzled_ids(h, w, packet)
+    fn = _swizzle_pixel_fn(h, w, packet)
+    got = np.asarray(fn(jnp.arange(table.shape[0], dtype=jnp.int32)))
+    np.testing.assert_array_equal(got, table)
