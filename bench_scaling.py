@@ -32,7 +32,7 @@ def main() -> None:
     import numpy as np
 
     import montecarlopathtracing_tpu as m
-    from montecarlopathtracing_tpu.accel.lbvh import build_lbvh
+    from montecarlopathtracing_tpu.accel.lbvh import build_lbvh_host
     from montecarlopathtracing_tpu.config import RenderOptions
     from montecarlopathtracing_tpu.parallel.mesh import make_mesh, render_image_sharded_jit
     from montecarlopathtracing_tpu.scene.builtin import load_builtin_box
@@ -50,7 +50,7 @@ def main() -> None:
         cam = dataclasses.replace(scene.camera, width=64, height=64)
         scene = dataclasses.replace(scene, camera=cam)
 
-    bvh = jax.jit(build_lbvh)(scene)
+    bvh = build_lbvh_host(scene)
     jax.block_until_ready(bvh.node_min)
 
     n_dev = len(jax.devices())

@@ -113,6 +113,11 @@ class RenderOptions:
     # fresh width-aligned cluster — tighter cluster AABBs, fewer candidates
     # in the cluster intersector.  0 disables (pure Morton runs).
     cluster_gap_bits: int = 19
+    # VMEM-table chunk cap for the cluster intersector: scenes needing more
+    # than this many chunked tables fall back to the XLA packet walk
+    # (integrator/wavefront.py::_cluster_plan).  Each chunk adds the
+    # intersect call's fixed candidate-phase cost (~1.2 ms at 64k lanes).
+    max_table_chunks: int = 8
     # Wavefront ray sorting by (hit cluster, direction octant) per bounce —
     # restores tile coherence for shadow/bounce rays. None = on iff the
     # cluster intersector is active. Results are bitwise independent of this.

@@ -200,7 +200,7 @@ def _cluster_plan(opts: RenderOptions, num_tris: int):
     # cluster_intersect_chunked).  Per-chunk fixed cost caps the chunk count;
     # beyond that the XLA packet walk takes over.
     n_chunks = -(-num_tris * _tconst_bytes_per_tri(128) // _VMEM_TABLE_BUDGET)
-    if n_chunks <= 8:
+    if n_chunks <= opts.max_table_chunks:
         return 128, max(1, (opts.cluster_width * opts.cluster_group) // 128), int(n_chunks)
     return None  # use the packet walk
 
