@@ -27,14 +27,17 @@ are estimator-level segments the reference would cast), so headline rays/s
 overstates *traversal* throughput by roughly the primary fraction (~1/3.5).
 Frame-level comparisons are unaffected.
 
-Structure: ONE subprocess runs setup -> forward -> backward -> stats and
-prints an incremental ``RESULT <name> <json>`` line after each stage; the
-parent harvests lines as they arrive under a global deadline (default 620 s,
-env MCPT_BENCH_BUDGET), kills the child on stage-gate timeouts (a wedged axon
-tunnel can hang even ``jax.devices()`` for 10+ min), optionally retries just
-the missing stage in a fresh process, and always prints the final JSON.
-The large-scene stage runs in its own process only if budget remains (or
-MCPT_BENCH_FULL=1 forces it).
+Structure: one subprocess runs setup -> forward -> stats, then a SEPARATE
+fresh subprocess runs setup -> backward (in-process fwd->bwd reliably wedges
+the tunneled device; see the phase-split note below).  Each child prints an
+incremental ``RESULT <name> <json>`` line after each stage; the parent
+harvests lines as they arrive under a global deadline (default 620 s, env
+MCPT_BENCH_BUDGET), kills children on stage-gate timeouts (a wedged axon
+tunnel can hang even a first array upload for 6+ min), and always prints the
+final JSON.  The large-scene stage runs in its own process only if budget
+remains (or MCPT_BENCH_FULL=1 forces it).  Compiled programs persist in
+``<repo>/.jax_cache`` (env MCPT_CACHE_DIR) so driver-run cold processes load
+rather than recompile.
 
 Hardware-model context emitted alongside the headline:
 * ``est_vpu_util`` — measured intersection-test throughput against a VPU
@@ -61,9 +64,9 @@ FLOPS_PER_TEST_PANEL = 64 * 32 * 34  # tile x width x ops (see module doc)
 _COMMON = r"""
 import json, time, sys, os
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 cfg = json.loads(sys.argv[1])
+jax.config.update("jax_compilation_cache_dir", cfg["cache_dir"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 def result(name, obj):
     print("RESULT " + name + " " + json.dumps(obj), flush=True)
@@ -145,9 +148,9 @@ result("stats", candidate_stats(scene, RenderOptions(
 _LARGE_PHASE = r"""
 import json, time, sys
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 cfg = json.loads(sys.argv[1])
+jax.config.update("jax_compilation_cache_dir", cfg["cache_dir"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 def result(name, obj):
     print("RESULT " + name + " " + json.dumps(obj), flush=True)
@@ -169,8 +172,14 @@ result("large", {"rays": float(n_rays), "seconds": dt,
                  "tris": int(meta.num_faces)})
 """
 
-_MAIN_PHASE = _COMMON + _FWD_STAGE + _BWD_STAGE + _STATS_STAGE
-_BWD_PHASE = _COMMON + _BWD_STAGE + _STATS_STAGE
+# Phase split (measured on the tunneled v5e, round 3): running the big
+# backward gradient-scan program in the SAME process as the forward renders
+# reliably wedges the device (INVALID_ARGUMENT on the bwd dispatch), while a
+# fresh process running ONLY setup+bwd completes fine.  So fwd+stats and bwd
+# always live in separate processes, bwd last (its wedge can't poison later
+# stages).
+_MAIN_PHASE = _COMMON + _FWD_STAGE + _STATS_STAGE
+_BWD_PHASE = _COMMON + _BWD_STAGE
 
 
 class _Phase:
@@ -252,36 +261,44 @@ def main() -> None:
         "spp_chunk": int(os.environ.get("MCPT_BENCH_SPP_CHUNK", "8")),
         "large_tris": int(os.environ.get("MCPT_BENCH_LARGE_TRIS", "400000")),
     }
+    # Compile cache inside the repo: prewarmed during development sessions, so
+    # a driver-run cold process loads the fwd/bwd programs in seconds instead
+    # of recompiling (~60-100 s each on the tunneled v5e).
+    cfg["cache_dir"] = os.environ.get(
+        "MCPT_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    os.makedirs(cfg["cache_dir"], exist_ok=True)
     results: dict[str, dict] = {}
     notes: dict[str, str] = {}
 
     def remaining():
         return t_end - time.monotonic()
 
-    # Main phase: setup gate 240 s (wedged-tunnel bail-out), then the rest of
-    # the phase budget.  Reserve 20 s for the parent's own wrap-up.
+    # Main phase (setup+fwd+stats): setup gate 240 s (wedged-tunnel bail-out),
+    # then up to half the budget.  Reserve 20 s for the parent's wrap-up.
     phase = _Phase(_MAIN_PHASE, cfg)
     now = time.monotonic()
     phase.wait_for(
-        ["fwd", "bwd", "stats"],
-        deadline=min(t_end - 20, now + max(60.0, remaining() - 120)),
+        ["fwd", "stats"],
+        deadline=min(t_end - 20, now + max(60.0, remaining() * 0.5)),
         gate="setup", gate_deadline=now + min(240.0, max(60.0, remaining() - 120)),
     )
     results.update(phase.results)
-    if phase.stderr_tail and not all(
-        k in results for k in ("fwd", "bwd")
-    ):
+    if phase.stderr_tail and "fwd" not in results:
         sys.stderr.write(phase.stderr_tail[-2000:])
     phase.kill()
 
-    # Missing-stage retry: a fresh process recovers a poisoned device state.
-    if "fwd" in results and "bwd" not in results and remaining() > 200:
+    # Backward phase: ALWAYS a fresh process (see the phase-split note above).
+    if remaining() > 90:
         retry = _Phase(_BWD_PHASE, cfg)
         now = time.monotonic()
-        retry.wait_for(["bwd", "stats"], deadline=t_end - 20,
-                       gate="setup", gate_deadline=now + min(180.0, remaining() - 40))
+        retry.wait_for(["bwd"], deadline=t_end - 20,
+                       gate="setup",
+                       gate_deadline=now + min(240.0, remaining() - 40))
         for k, v in retry.results.items():
             results.setdefault(k, v)
+        if retry.stderr_tail and "bwd" not in results:
+            sys.stderr.write(retry.stderr_tail[-2000:])
         retry.kill()
 
     # Large-scene stage: opt-in, or when comfortable budget remains.

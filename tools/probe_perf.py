@@ -10,7 +10,7 @@ tunneled device state clean.
 import sys, time
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import montecarlopathtracing_tpu as m
