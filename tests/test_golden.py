@@ -90,6 +90,7 @@ def test_cornell_matches_reference_binary(cornell_scene):
     assert diff.max() < 0.08, diff.max()
 
 
+@pytest.mark.slow
 def test_cornell_vs_shipped_result_png(cornell_scene):
     """Loose secondary anchor against the repo's own shipped SPP25 render
     (rendered with the REAL texture, hence the wider tolerance)."""
@@ -108,6 +109,7 @@ def test_cornell_vs_shipped_result_png(cornell_scene):
     not os.path.exists(os.path.join(GOLDEN, "ref-veach-mis-SPP32.png")),
     reason="veach golden not generated",
 )
+@pytest.mark.slow
 def test_veach_matches_reference_binary(tmp_path_factory):
     d = tmp_path_factory.mktemp("veach_scene")
     for f in ("veach-mis.obj", "veach-mis.mtl", "veach-mis.camera"):

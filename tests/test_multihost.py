@@ -25,6 +25,7 @@ def _free_port():
 
 
 @pytest.mark.timeout(600)
+@pytest.mark.slow
 def test_two_process_distributed_render_and_grad():
     port = _free_port()
     env = {k: v for k, v in os.environ.items()

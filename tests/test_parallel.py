@@ -43,6 +43,7 @@ def test_spp_sharded_render_matches_single(box_scene, box_bvh):
 
 
 @needs_8
+@pytest.mark.slow
 def test_distributed_train_step_matches_single_device(box_scene, box_bvh):
     scene, _ = box_scene
     opts = RenderOptions(spp=4, max_depth=3, chunk_size=256)

@@ -68,6 +68,7 @@ def _plate_pixel_ids(scene, per_plate=160, seed=3):
     return np.concatenate(picked)
 
 
+@pytest.mark.slow
 def test_veach_matches_oracle(veach):
     """All four glossy plates (Ns 300..100000) against the f64 oracle at
     realistic depth — exercises the Phong lobe at extreme exponents, the
@@ -78,6 +79,23 @@ def test_veach_matches_oracle(veach):
     bvh = build_lbvh(scene)
     ids = _plate_pixel_ids(scene)  # 640 pixels spanning the four plates
     opts = RenderOptions(spp=8, max_depth=6, chunk_size=1024, refill=False)
+    got, _ = render_pixels(scene, bvh, opts, jnp.asarray(ids))
+    want = oracle_render_pixels(scene, opts, ids)
+    got = np.asarray(got, np.float64)
+    rel = np.abs(got - want) / (np.abs(want) + 1e-4)
+    assert np.median(rel) < 1e-4
+    assert (rel.max(axis=1) < 1e-2).mean() > 0.95
+
+
+def test_veach_matches_oracle_quick(veach):
+    """Fast-tier veach oracle check: the two extreme plates (Ns 100000 and
+    300) at spp 2 / depth 4, same per-path stream-lockstep contract as the
+    wide slow-tier test above."""
+    scene, _ = veach
+    bvh = build_lbvh(scene)
+    ids = _plate_pixel_ids(scene, per_plate=48)
+    ids = np.concatenate([ids[:48], ids[-48:]])  # Ns=100000 and Ns=300 plates
+    opts = RenderOptions(spp=2, max_depth=4, chunk_size=512, refill=False)
     got, _ = render_pixels(scene, bvh, opts, jnp.asarray(ids))
     want = oracle_render_pixels(scene, opts, ids)
     got = np.asarray(got, np.float64)

@@ -7,7 +7,9 @@ tunneled device state clean.
     python tools/probe_perf.py packetwalk   # >1.3M-tri packet-walk fallback (item 7)
     python tools/probe_perf.py chunk16      # chunked tables at 16 chunks (item 7 alt)
 """
-import sys, time
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -29,10 +31,14 @@ def timed_frame(scene, bvh, opts):
     return float(n_rays) / dt, dt
 
 
-if mode == "sppsweep":
+if mode == "sppsweep" or (mode.startswith("spp") and mode[3:].isdigit()):
+    # Single-spp modes (spp4/spp8/spp16): the tunneled device reliably wedges
+    # when one process compiles+runs a SECOND distinct large program, so the
+    # sweep must run one spp per process.
+    spps = (4, 8, 16) if mode == "sppsweep" else (int(mode[3:]),)
     scene, meta = m.load_scene("/root/reference/scene", "cornell-box")
     bvh = build_lbvh_host(scene)
-    for spp in (4, 8, 16):
+    for spp in spps:
         opts = RenderOptions(spp=spp, max_depth=32, chunk_size=65536,
                              spp_chunk=spp)  # single dispatch per frame
         rps, dt = timed_frame(scene, bvh, opts)
