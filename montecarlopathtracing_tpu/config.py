@@ -117,7 +117,11 @@ class RenderOptions:
     # than this many chunked tables fall back to the XLA packet walk
     # (integrator/wavefront.py::_cluster_plan).  Each chunk adds the
     # intersect call's fixed candidate-phase cost (~1.2 ms at 64k lanes).
-    max_table_chunks: int = 8
+    # 32 covers ~5M tris; measured at 1.5M tris / 13 chunks on v5e the
+    # chunked kernel renders 6.6e5 rays/s vs the packet walk's 2.7e4 (24x),
+    # so the cap is set well past every workload in sight and the packet
+    # walk remains only as the CPU/test and explicit-opt-in path.
+    max_table_chunks: int = 32
     # Wavefront ray sorting by (hit cluster, direction octant) per bounce —
     # restores tile coherence for shadow/bounce rays. None = on iff the
     # cluster intersector is active. Results are bitwise independent of this.

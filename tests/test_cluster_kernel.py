@@ -136,7 +136,7 @@ def test_explicit_cluster_fallback_warns():
     opts = RenderOptions(intersector="cluster")
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        kind, _, _, _ = resolve_plan(opts, num_tris=1 << 22)
+        kind, _, _, _ = resolve_plan(opts, num_tris=1 << 24)
     assert kind == "bvh"
     assert any("falling back" in str(w.message) for w in rec)
     # 'auto' stays silent
