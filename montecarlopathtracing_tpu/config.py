@@ -104,10 +104,12 @@ class RenderOptions:
     # clusters tested per loop iteration as one concatenated panel
     # (kernels/cluster.py: culling granularity = width, VPU lane width =
     # width * group; smaller subtiles tighten the per-subtile candidate
-    # union at more loop iterations — 64/32/4 is the measured v5e optimum).
+    # union at more loop iterations).  64/32/8 is the measured v5e optimum
+    # under the deferred-best kernel (round 3: 1.52e7 rays/s vs 1.39e7 at
+    # g4; g16, tile 32/128, width 16/64 all measured worse).
     cluster_rays: int = 64
     cluster_width: int = 32
-    cluster_group: int = 4
+    cluster_group: int = 8
     # Cluster-boundary gap padding at scene build (scene/loader.py): insert
     # invalid padding so Morton discontinuities above this bit level start a
     # fresh width-aligned cluster — tighter cluster AABBs, fewer candidates

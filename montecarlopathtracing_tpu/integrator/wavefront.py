@@ -62,6 +62,7 @@ RAY_TRANSMISSION = 2
 BIG = jnp.float32(1e30)
 
 
+@functools.lru_cache(maxsize=16)
 def _tile_swizzled_ids(h: int, w: int, packet_size: int):
     """Pixel ids reordered so every ``packet_size`` consecutive lanes form a
     compact 2D tile (sqrt(P) x sqrt(P)) — packet frusta stay narrow, which is
@@ -70,6 +71,8 @@ def _tile_swizzled_ids(h: int, w: int, packet_size: int):
     (duplicate ids re-render the identical sample, so the scatter is benign).
 
     Host-side (static h/w): returns np.int32 (n_tiles*packet_size,).
+    lru_cached (~130 ms/build at 1 Mpixel, profiled as per-frame host
+    overhead); treat the result as read-only.
     """
     import numpy as np
 
@@ -993,9 +996,12 @@ def render_pixels_refill(
         stage = ((jnp.arange(n_pend, dtype=jnp.int32)[None, :] == pc[:, None])
                  & pixel_done[:, None])  # (r, P)
         pend_slot = jnp.where(stage, slot_done[:, None], pend_slot)
-        pr3 = jnp.where(stage[:, :, None], rad[:, None, :],
-                        pend_rad.reshape(r, n_pend, 3))
-        pend_rad = pr3.reshape(r, 3 * n_pend)
+        # Pure 2D staging: an (r, P, 3) intermediate pads its minor dim
+        # 3 -> 128 on TPU (profiled at 1.2 ms/iter at P=4); repeat/tile keep
+        # the (r, 3P) layout.  Column order stays [p0.rgb p1.rgb ...], the
+        # same triples do_flush's reshape(-1, 3) expects.
+        pend_rad = jnp.where(jnp.repeat(stage, 3, axis=1),
+                             jnp.tile(rad, (1, n_pend)), pend_rad)
         pend_count = pend_count + pixel_done.astype(jnp.int32)
         rad = jnp.where(take[:, None], 0.0, rad)  # next_samp keeps the sum
 
@@ -1221,6 +1227,20 @@ _render_refill_jit = jax.jit(
 )
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "spp"))
+def _assemble_frame_jit(acc, ids, h: int, w: int, spp: int):
+    flat = jnp.zeros((h * w, 3), acc.dtype).at[ids].set(acc / spp)
+    return flat.reshape(h, w, 3)
+
+
+@functools.lru_cache(maxsize=16)
+def _device_ids(h: int, w: int, tile: int):
+    """Device-resident swizzled pixel-id table.  Uploading the 4 MB id array
+    through the axon tunnel costs ~0.1-0.3 s; renders of the same frame shape
+    reuse one upload."""
+    return jnp.asarray(_tile_swizzled_ids(h, w, tile))
+
+
 def render_image_host_chunked(
     scene: SceneArrays,
     bvh: BVHArrays,
@@ -1265,7 +1285,7 @@ def render_image_host_chunked(
         raise AssertionError("unreachable")
 
     if opts.refill:
-        ids = jnp.asarray(ids_np)
+        ids = _device_ids(h, w, swizzle_tile(opts, scene.num_tris_padded))
         acc = None
         done = 0
         total_rays = 0.0
@@ -1286,9 +1306,13 @@ def render_image_host_chunked(
             step += 1
             if progress is not None:
                 progress(step, n_steps)
-        flat = np.zeros((n, 3), np.float32)
-        flat[np.asarray(ids)] = np.asarray(acc) / opts.spp
-        return flat.reshape(h, w, 3), total_rays
+        # Assemble the frame ON DEVICE and return a device array: pulling the
+        # 12 MB film through the axon tunnel costs ~0.4-0.5 s (profiled) and
+        # is not device work — callers materialize it when writing the PNG.
+        # Duplicate ids (edge-tile clamps) write bitwise-identical values
+        # (same pixel id => same RNG streams => same estimator sum).
+        flat = _assemble_frame_jit(acc, ids, h, w, opts.spp)
+        return flat, total_rays
 
     n_pad = ((ids_np.shape[0] + chunk - 1) // chunk) * chunk
     if n_pad != ids_np.shape[0]:

@@ -256,7 +256,7 @@ def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
 
 def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
                       *, width: int, tile: int, mega: int, group: int,
-                      mt: bool = False):
+                      mt: bool = False, defer: bool = True):
     """One grid step = ``mega`` ray subtiles of ``tile`` rays.
 
     cand: SMEM (1, mega, C+8) i32 rows [count, 7 pad, cluster ids (C)];
@@ -276,6 +276,16 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
     ids ascend, so within-panel argmin ties and cross-panel updates both
     resolve to the lowest triangle index, exactly matching a full in-order
     scan (brute force / the reference's DFS, MTPC/pathTracing.cpp:355-361).
+
+    ``defer=True`` (the measured-faster variant on v5e) keeps a per-COLUMN
+    running lexicographic best (tile, group*width) across the candidate loop
+    — pure elementwise compare/select per iteration — and reduces to the
+    per-ray best ONCE after the loop; ``defer=False`` is the original
+    min+argmin-per-iteration formulation (kept for A/B probing).  Both
+    produce identical (t, tri): per column the running pair is the
+    lexicographic min over that column's panels, and the final two
+    reductions (min t, then min tri among t-ties) pick the same global
+    winner an in-order scan would.
     """
     def subtile(s, _):
         sub = rays_ref[pl.ds(s * tile, tile), :]
@@ -285,8 +295,11 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
             wx, wy, wz = sub[:, 6:7], sub[:, 7:8], sub[:, 8:9]
         n = cand_ref[0, s, 0]
 
-        def body(k, state):
-            bt, bi = state
+        def panel(k, bt):
+            """Shared candidate-panel test: returns (cids, tm) where tm is
+            (tile, group*W) masked hit distances (1e30 = miss).  ``bt`` (the
+            running per-ray best) only participates in the non-deferred
+            formulation's mask."""
             cids = [cand_ref[0, s, 8 + k * group + g] for g in range(group)]
             tc = jnp.concatenate([tconst_ref[c] for c in cids], axis=1)
 
@@ -311,24 +324,60 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
                 c2 = dot(_R_M2, ox, oy, oz) + t * dot(_R_M2, dx, dy, dz) - tc[_R_K2:_R_K2 + 1]
                 c3 = dot(_R_M3, ox, oy, oz) + t * dot(_R_M3, dx, dy, dz) - tc[_R_K3:_R_K3 + 1]
                 inside = (c1 * c2 >= 0) & (c1 * c3 >= 0) & (c2 * c3 >= 0)
-            ok = inside & (t > 0) & (t <= bt)  # NaN t fails every compare
-            tm = jnp.where(ok, t, 1e30)
-            tj = jnp.min(tm, axis=1, keepdims=True)  # (tile, 1)
-            j = jnp.argmin(tm, axis=1).reshape(tile, 1).astype(jnp.int32)
-            blk = j // width
-            cid_j = jnp.full_like(j, cids[0])
-            for g in range(1, group):
-                cid_j = jnp.where(blk == g, cids[g], cid_j)
-            tri = cid_j * width + (j - blk * width)
-            better = (tj < bt) | ((tj == bt) & (tj < 1e30) & (tri < bi))
-            bt = jnp.where(better, tj, bt)
-            bi = jnp.where(better, tri, bi)
-            return bt, bi
+            ok = inside & (t > 0)  # NaN t fails every compare
+            if bt is not None:
+                ok = ok & (t <= bt)
+            return cids, jnp.where(ok, t, 1e30)
 
-        bt0 = jnp.full((tile, 1), 1e30, jnp.float32)
-        bi0 = jnp.full((tile, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
         n_groups = (n + (group - 1)) // group
-        bt, bi = jax.lax.fori_loop(0, n_groups, body, (bt0, bi0))
+        imax = jnp.iinfo(jnp.int32).max
+        if defer:
+            # Per-column triangle ids are panel-local: column c of a panel is
+            # triangle cids[c // width] * width + (c % width).
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, group * width), 1)
+            sh = width.bit_length() - 1  # width is a power of two (32/128)
+            blk_col = col >> sh
+            within_col = col & (width - 1)
+
+            def body(k, state):
+                bt128, bi128 = state
+                cids, tm = panel(k, None)
+                cid_col = jnp.full_like(col, cids[0])
+                for g in range(1, group):
+                    cid_col = jnp.where(blk_col == g, cids[g], cid_col)
+                tri_col = cid_col * width + within_col  # (1, group*W)
+                better = (tm < bt128) | ((tm == bt128) & (tm < 1e30)
+                                         & (tri_col < bi128))
+                bt128 = jnp.where(better, tm, bt128)
+                bi128 = jnp.where(better, tri_col, bi128)
+                return bt128, bi128
+
+            bt0 = jnp.full((tile, group * width), 1e30, jnp.float32)
+            bi0 = jnp.full((tile, group * width), imax, jnp.int32)
+            bt128, bi128 = jax.lax.fori_loop(0, n_groups, body, (bt0, bi0))
+            bt = jnp.min(bt128, axis=1, keepdims=True)  # (tile, 1)
+            bi = jnp.min(jnp.where(bt128 == bt, bi128, imax),
+                         axis=1, keepdims=True)
+        else:
+            def body(k, state):
+                bt, bi = state
+                cids, tm = panel(k, bt)
+                tj = jnp.min(tm, axis=1, keepdims=True)  # (tile, 1)
+                j = jnp.argmin(tm, axis=1).reshape(tile, 1).astype(jnp.int32)
+                blk = j // width
+                cid_j = jnp.full_like(j, cids[0])
+                for g in range(1, group):
+                    cid_j = jnp.where(blk == g, cids[g], cid_j)
+                tri = cid_j * width + (j - blk * width)
+                better = (tj < bt) | ((tj == bt) & (tj < 1e30) & (tri < bi))
+                bt = jnp.where(better, tj, bt)
+                bi = jnp.where(better, tri, bi)
+                return bt, bi
+
+            bt0 = jnp.full((tile, 1), 1e30, jnp.float32)
+            bi0 = jnp.full((tile, 1), imax, jnp.int32)
+            bt, bi = jax.lax.fori_loop(0, n_groups, body, (bt0, bi0))
+
         bt_ref[pl.ds(s * tile, tile), :] = bt
         bi_ref[pl.ds(s * tile, tile), :] = jnp.where(bt < 1e30, bi, -1)
         return 0
@@ -337,17 +386,21 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile", "mega", "group", "interpret", "mt")
+    jax.jit, static_argnames=("tile", "mega", "group", "interpret", "mt",
+                              "defer")
 )
 def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
                               tile: int, mega: int, group: int, interpret: bool,
-                              mt: bool = False):
+                              mt: bool = False, defer: bool = True):
     n_steps = rays.shape[0] // (tile * mega)
     c = accel.num_clusters
     ray_w = rays.shape[1]
+    # The deferred-best variant indexes panel columns with shifts/masks,
+    # which requires a power-of-two cluster width.
+    defer = defer and (accel.width & (accel.width - 1) == 0)
     kernel = functools.partial(_intersect_kernel, width=accel.width,
                                tile=tile, mega=mega, group=min(group, c),
-                               mt=mt)
+                               mt=mt, defer=defer)
     bt, bi = pl.pallas_call(
         kernel,
         grid=(n_steps,),
@@ -379,7 +432,8 @@ def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
 
 def cluster_intersect(accel: ClusterAccel, origin, direction,
                       tile: int = 256, mega: int = 16, group: int = 4,
-                      interpret: bool | None = None, mt: bool = False):
+                      interpret: bool | None = None, mt: bool = False,
+                      defer: bool = True):
     """Nearest-hit query: (hit (R,) bool, t (R,) f32, tri (R,) i32).
 
     Same result contract as accel.lbvh.bvh_intersect / brute_force_intersect
@@ -422,7 +476,7 @@ def cluster_intersect(accel: ClusterAccel, origin, direction,
             axis=1,
         )
     bt, bi = _cluster_intersect_padded(accel, rays, cand, tile, mega, group,
-                                       interpret, mt)
+                                       interpret, mt, defer)
     bt, bi = bt[:r], bi[:r]
     hit = bi >= 0
     return hit, jnp.where(hit, bt, BIG), bi

@@ -10,9 +10,9 @@ from montecarlopathtracing_tpu.integrator.wavefront import _cluster_plan
 
 
 def test_cluster_plan_thresholds():
-    opts = RenderOptions()  # width 32, group 4
-    assert _cluster_plan(opts, 16384) == (32, 4, 1)
-    assert _cluster_plan(opts, 32768) == (32, 4, 1)
+    opts = RenderOptions()  # width 32, group 8 (round-3 default)
+    assert _cluster_plan(opts, 16384) == (32, 8, 1)
+    assert _cluster_plan(opts, 32768) == (32, 8, 1)
     w, g, n = _cluster_plan(opts, 1 << 17)  # 131072 tris: coarse plan
     assert w == 128 and n == 1
     assert w * g == opts.cluster_width * opts.cluster_group

@@ -1,0 +1,25 @@
+"""One-config-per-process kernel-shape probe: spp16 cornell frame.
+Usage: python tools/probe_shape.py <tile> <width> <group> [spp]"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+import montecarlopathtracing_tpu as m
+from montecarlopathtracing_tpu.accel.lbvh import build_lbvh_host
+from montecarlopathtracing_tpu.config import RenderOptions
+from montecarlopathtracing_tpu.integrator.wavefront import render_image_host_chunked
+
+tile, width, group = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+spp = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+nosort = len(sys.argv) > 5 and sys.argv[5] == "nosort"
+scene, meta = m.load_scene("/root/reference/scene", "cornell-box")
+bvh = build_lbvh_host(scene)
+opts = RenderOptions(spp=spp, max_depth=32, chunk_size=65536, spp_chunk=spp,
+                     cluster_rays=tile, cluster_width=width, cluster_group=group,
+                     sort_rays=(False if nosort else None))
+render_image_host_chunked(scene, bvh, opts)
+t0 = time.perf_counter()
+img, n_rays = render_image_host_chunked(scene, bvh, opts)
+dt = time.perf_counter() - t0
+print(f"tile{tile} w{width} g{group} spp{spp}{' nosort' if nosort else ''}: {float(n_rays)/dt:.4g} rays/s ({dt:.2f} s)")
