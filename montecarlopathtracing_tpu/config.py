@@ -110,6 +110,8 @@ class RenderOptions:
     cluster_rays: int = 64
     cluster_width: int = 32
     cluster_group: int = 8
+    # Subtiles per Pallas grid step (amortizes per-step pipeline overhead).
+    cluster_mega: int = 16
     # Cluster-boundary gap padding at scene build (scene/loader.py): insert
     # invalid padding so Morton discontinuities above this bit level start a
     # fresh width-aligned cluster — tighter cluster AABBs, fewer candidates

@@ -224,15 +224,16 @@ def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
                 scene, width=width, n_chunks=n_chunks, mt=not compat_tri)
             return cluster_intersect_chunked(
                 accels, offs, origin, direction, tile=opts.cluster_rays,
-                group=group, interpret=interp, mt=not compat_tri)
+                mega=opts.cluster_mega, group=group, interpret=interp,
+                mt=not compat_tri)
         from ..kernels.cluster import build_cluster_accel, cluster_intersect
 
         # modern mode (plane_sign=False) selects the kernel's Moller-Trumbore
         # variant, matching the packet/brute paths' ray_triangle_mt semantics.
         accel = build_cluster_accel(scene, width=width, mt=not compat_tri)
         return cluster_intersect(
-            accel, origin, direction, tile=opts.cluster_rays, group=group,
-            interpret=interp,
+            accel, origin, direction, tile=opts.cluster_rays,
+            mega=opts.cluster_mega, group=group, interpret=interp,
             mt=not compat_tri,
         )
     if kind == "bvh_perray":
@@ -792,15 +793,19 @@ def render_pixels_refill(
     # (15, r) array (sublane pad 15 -> 16 only) and are transposed in/out of
     # the step. The forward while_loop keeps the unpacked layout.
     if differentiable:
-        def pack_f(o, d, b, rd, pr):
-            return (jnp.concatenate([o.T, d.T, b.T, rd.T, pr.T], axis=0),)
+        def pack_f(o, d, b, rd, pr, pg, pb):
+            return (jnp.concatenate([o.T, d.T, b.T, rd.T, pr.T, pg.T, pb.T],
+                                    axis=0),)
 
         def unpack_f(packed):
             (fs,) = packed
-            return fs[0:3].T, fs[3:6].T, fs[6:9].T, fs[9:12].T, fs[12:15].T
+            p0 = 12 + n_pend
+            return (fs[0:3].T, fs[3:6].T, fs[6:9].T, fs[9:12].T,
+                    fs[12:p0].T, fs[p0:p0 + n_pend].T,
+                    fs[p0 + n_pend:p0 + 2 * n_pend].T)
     else:
-        def pack_f(o, d, b, rd, pr):
-            return (o, d, b, rd, pr)
+        def pack_f(o, d, b, rd, pr, pg, pb):
+            return (o, d, b, rd, pr, pg, pb)
 
         def unpack_f(packed):
             return packed
@@ -824,7 +829,7 @@ def render_pixels_refill(
         (q, n_rays, active, slot, pix, samp, samp_left, keys, depth, kind,
          was_fresh, hit_a, t_a, tri_a, prim_ok, prim_hit, prim_t, prim_tri,
          pend_slot, pend_count, *fvec) = state
-        origin, direction, beta, rad, pend_rad = unpack_f(tuple(fvec))
+        origin, direction, beta, rad, pend_r, pend_g, pend_b = unpack_f(tuple(fvec))
 
         # n_rays counts estimator-level segments (what the reference would
         # cast); cached primaries are memoized, not skipped, estimator-wise.
@@ -933,14 +938,14 @@ def render_pixels_refill(
                                            jnp.int32(2 ** 30)))
             perm = jnp.argsort(sort_key)
             l = num_lights
-            (origin, direction, beta, rad, pend_rad, f_pack, so_p, dn_p,
-             ct_p), \
+            (origin, direction, beta, rad, pend_r, pend_g, pend_b, f_pack,
+             so_p, dn_p, ct_p), \
                 (slot, pix, samp, samp_left, keys, depth, kind, active,
                  was_fresh, prim_ok, prim_hit, prim_tri, pend_slot,
                  pend_count, shade, take, pixel_done, slot_done, ok_p,
                  smat_p) = _permute_rows(
                     perm,
-                    (origin, direction, beta, rad, pend_rad,
+                    (origin, direction, beta, rad, pend_r, pend_g, pend_b,
                      jnp.stack([prim_t] + [dist_n[i] for i in range(l)],
                                axis=1),
                      so_s.transpose(1, 0, 2).reshape(r, 3 * l),
@@ -996,12 +1001,15 @@ def render_pixels_refill(
         stage = ((jnp.arange(n_pend, dtype=jnp.int32)[None, :] == pc[:, None])
                  & pixel_done[:, None])  # (r, P)
         pend_slot = jnp.where(stage, slot_done[:, None], pend_slot)
-        # Pure 2D staging: an (r, P, 3) intermediate pads its minor dim
-        # 3 -> 128 on TPU (profiled at 1.2 ms/iter at P=4); repeat/tile keep
-        # the (r, 3P) layout.  Column order stays [p0.rgb p1.rgb ...], the
-        # same triples do_flush's reshape(-1, 3) expects.
-        pend_rad = jnp.where(jnp.repeat(stage, 3, axis=1),
-                             jnp.tile(rad, (1, n_pend)), pend_rad)
+        # Channel-split staging: pend radiance lives as three (r, P) arrays
+        # so the update is a pure 2D broadcast — every packed-RGB variant
+        # ((r, P, 3) reshape, repeat/tile to (r, 3P)) materializes a
+        # minor-dim-3-ish layout that costs ~1.2 ms/iter at P = 4 (profiled;
+        # the round-2 low-spp gap's residue).  The (r*P, 3) update matrix is
+        # assembled only inside do_flush, once per flush cadence.
+        pend_r = jnp.where(stage, rad[:, 0:1], pend_r)
+        pend_g = jnp.where(stage, rad[:, 1:2], pend_g)
+        pend_b = jnp.where(stage, rad[:, 2:3], pend_b)
         pend_count = pend_count + pixel_done.astype(jnp.int32)
         rad = jnp.where(take[:, None], 0.0, rad)  # next_samp keeps the sum
 
@@ -1014,7 +1022,8 @@ def render_pixels_refill(
         return ((q, n_rays, active, slot, pix, samp, samp_left, keys, depth,
                  kind, was_fresh, hit_a, t_a, tri_a, prim_ok, prim_hit,
                  prim_t, prim_tri, pend_slot, pend_count)
-                + pack_f(origin, direction, beta, rad, pend_rad),
+                + pack_f(origin, direction, beta, rad, pend_r, pend_g,
+                         pend_b),
                 flush_rad, flush_slot)
 
     # Bootstrap: the loop carries each lane's arrival, so the first batch of
@@ -1047,7 +1056,9 @@ def render_pixels_refill(
         d0,
         jnp.ones((r, 3), jnp.float32),     # beta
         jnp.zeros((r, 3), jnp.float32),    # rad
-        jnp.zeros((r, 3 * n_pend), jnp.float32),  # pend_rad
+        jnp.zeros((r, n_pend), jnp.float32),  # pend_r
+        jnp.zeros((r, n_pend), jnp.float32),  # pend_g
+        jnp.zeros((r, n_pend), jnp.float32),  # pend_b
     )
 
     if differentiable:
@@ -1081,12 +1092,14 @@ def render_pixels_refill(
     else:
         flush_every = max(1, n_pend * spp)
 
-        def do_flush(film, pend_slot, pend_rad, pend_count):
+        def do_flush(film, pend_slot, pend_r, pend_g, pend_b, pend_count):
             # Index set is unique by construction: real slots are owned by
             # exactly one (lane, position); dummies are
             # n_pix + lane * n_pend + position (out of bounds, dropped).
+            upd = jnp.stack([pend_r.reshape(-1), pend_g.reshape(-1),
+                             pend_b.reshape(-1)], axis=1)  # (r*P, 3)
             film = film.at[pend_slot.reshape(-1)].add(
-                pend_rad.reshape(-1, 3), unique_indices=True, mode="drop")
+                upd, unique_indices=True, mode="drop")
             return film, dummy_pend, jnp.zeros((r,), jnp.int32)
 
         def cond(carry):
@@ -1100,8 +1113,8 @@ def render_pixels_refill(
             film, pend_slot, pend_count = jax.lax.cond(
                 (i + 1) % flush_every == 0,
                 do_flush,
-                lambda f, ps, pr, pc: (f, ps, pc),
-                film, state[18], state[24], state[19],
+                lambda f, ps, pr, pg, pb, pc: (f, ps, pc),
+                film, state[18], state[24], state[25], state[26], state[19],
             )
             state = state[:18] + (pend_slot, pend_count) + state[20:]
             return i + 1, state, film
@@ -1111,7 +1124,8 @@ def render_pixels_refill(
             (jnp.int32(0), state0, jnp.zeros((n_pix, 3), jnp.float32)),
         )
         # Drain pendings staged since the last cadence boundary.
-        film, _, _ = do_flush(film, state[18], state[24], state[19])
+        film, _, _ = do_flush(film, state[18], state[24], state[25],
+                              state[26], state[19])
         n_rays = state[1]
     return film / spp, n_rays
 

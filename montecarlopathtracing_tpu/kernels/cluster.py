@@ -158,45 +158,64 @@ def build_cluster_accel(scene, width: int = 128, mt: bool = False) -> ClusterAcc
     return ClusterAccel(tconst=tconst, cmin=cmin, cmax=cmax)
 
 
-def _key_kernel(rays_ref, caabb_ref, key_ref, *, tile: int, mega: int):
+def _key_kernel(flags_ref, rays_ref, caabb_ref, key_ref, *, tile: int,
+                mega: int):
     """Per-(ray subtile, cluster) slab keys, reduced over each subtile in VMEM.
 
     One grid step covers ``mega`` subtiles of ``tile`` rays (amortizing the
     per-step pipeline overhead, which dominates at small step sizes).
 
-    rays: (mega*tile, 8) VMEM block; caabb: (8, C) VMEM rows [minx miny minz
-    maxx maxy maxz 0 0]; key out: (1, mega, C) — min over each subtile's rays
-    of the clamped slab entry distance, 1e30 where no ray hits the cluster.
+    flags: SMEM (1, mega) i32, 1 = every ray in the subtile is parked
+    (computed in XLA from the ray origins); rays: (mega*tile, 8) VMEM block;
+    caabb: (8, C) VMEM rows [minx miny minz maxx maxy maxz 0 0]; key out:
+    (1, mega, C) — min over each subtile's rays of the clamped slab entry
+    distance, 1e30 where no ray hits the cluster.
     """
     def subtile(s, _):
-        sub = rays_ref[pl.ds(s * tile, tile), :]
-        ox, oy, oz = sub[:, 0:1], sub[:, 1:2], sub[:, 2:3]
-        ix = 1.0 / sub[:, 3:4]
-        iy = 1.0 / sub[:, 4:5]
-        iz = 1.0 / sub[:, 5:6]
+        # All-parked subtiles (inactive lanes, primary-reuse lanes, unlit
+        # shadow rays — origin 1e9) skip the slab math: 30-50% of subtiles
+        # at spp >= 4 compat renders.  The flag must be ALL-parked (not
+        # first-ray-parked): parked shadow rays are scattered through the
+        # shadow half, not contiguous.
+        parked = flags_ref[0, 0, s] == 1
 
-        def axis(lo_row, hi_row, o, inv):
-            lo = caabb_ref[lo_row:lo_row + 1, :]  # (1, C)
-            hi = caabb_ref[hi_row:hi_row + 1, :]
-            near = jnp.where(inv < 0, hi, lo)  # (tile, C)
-            far = jnp.where(inv < 0, lo, hi)
-            tn = (near - o) * inv
-            tf = (far - o) * inv
-            # 0 * inf (zero direction component, origin exactly on the slab
-            # plane) yields NaN; resolve it conservatively as an open axis —
-            # candidates may only be ADDED by this, never lost.
-            tn = jnp.where(jnp.isnan(tn), -jnp.inf, tn)
-            tf = jnp.where(jnp.isnan(tf), jnp.inf, tf)
-            return tn, tf
+        @pl.when(parked)
+        def _():
+            key_ref[0, pl.ds(s, 1), :] = jnp.full(
+                (1, key_ref.shape[2]), 1e30, jnp.float32)
 
-        nx, fx = axis(0, 3, ox, ix)
-        ny, fy = axis(1, 4, oy, iy)
-        nz, fz = axis(2, 5, oz, iz)
-        enter = jnp.maximum(jnp.maximum(nx, ny), nz)
-        exit_ = jnp.minimum(jnp.minimum(fx, fy), fz)
-        hit = (enter <= exit_) & (exit_ >= 0)
-        key = jnp.where(hit, jnp.maximum(enter, 0.0), 1e30)
-        key_ref[0, pl.ds(s, 1), :] = jnp.min(key, axis=0, keepdims=True)
+        @pl.when(jnp.logical_not(parked))
+        def _():
+            sub = rays_ref[pl.ds(s * tile, tile), :]
+            ox, oy, oz = sub[:, 0:1], sub[:, 1:2], sub[:, 2:3]
+            ix = 1.0 / sub[:, 3:4]
+            iy = 1.0 / sub[:, 4:5]
+            iz = 1.0 / sub[:, 5:6]
+
+            def axis(lo_row, hi_row, o, inv):
+                lo = caabb_ref[lo_row:lo_row + 1, :]  # (1, C)
+                hi = caabb_ref[hi_row:hi_row + 1, :]
+                near = jnp.where(inv < 0, hi, lo)  # (tile, C)
+                far = jnp.where(inv < 0, lo, hi)
+                tn = (near - o) * inv
+                tf = (far - o) * inv
+                # 0 * inf (zero direction component, origin exactly on the
+                # slab plane) yields NaN; resolve it conservatively as an
+                # open axis — candidates may only be ADDED by this, never
+                # lost.
+                tn = jnp.where(jnp.isnan(tn), -jnp.inf, tn)
+                tf = jnp.where(jnp.isnan(tf), jnp.inf, tf)
+                return tn, tf
+
+            nx, fx = axis(0, 3, ox, ix)
+            ny, fy = axis(1, 4, oy, iy)
+            nz, fz = axis(2, 5, oz, iz)
+            enter = jnp.maximum(jnp.maximum(nx, ny), nz)
+            exit_ = jnp.minimum(jnp.minimum(fx, fy), fz)
+            hit = (enter <= exit_) & (exit_ >= 0)
+            key = jnp.where(hit, jnp.maximum(enter, 0.0), 1e30)
+            key_ref[0, pl.ds(s, 1), :] = jnp.min(key, axis=0, keepdims=True)
+
         return 0
 
     jax.lax.fori_loop(0, mega, subtile, 0)
@@ -206,10 +225,15 @@ def _key_kernel(rays_ref, caabb_ref, key_ref, *, tile: int, mega: int):
 def _candidate_keys(rays, caabb, tile: int, mega: int, interpret: bool):
     n_steps = rays.shape[0] // (tile * mega)
     c = caabb.shape[1]
+    # Per-subtile all-parked flags (cheap XLA segment-min over origin-x).
+    flags = (jnp.min(rays[:, 0].reshape(n_steps, mega, tile), axis=2)
+             > 5e8).astype(jnp.int32).reshape(n_steps, 1, mega)
     key = pl.pallas_call(
         functools.partial(_key_kernel, tile=tile, mega=mega),
         grid=(n_steps,),
         in_specs=[
+            pl.BlockSpec((1, 1, mega), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((tile * mega, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -221,7 +245,7 @@ def _candidate_keys(rays, caabb, tile: int, mega: int, interpret: bool):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(rays, caabb)
+    )(flags, rays, caabb)
     return key.reshape(-1, c)
 
 
@@ -288,12 +312,30 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
     winner an in-order scan would.
     """
     def subtile(s, _):
+        n = cand_ref[0, s, 0]
+
+        # Empty candidate lists (parked/miss-everything subtiles — 30-50% of
+        # a compat wavefront) skip straight to constant writes: the final
+        # best-reductions over the initial 1e30 panels are not free.
+        @pl.when(n == 0)
+        def _():
+            bt_ref[pl.ds(s * tile, tile), :] = jnp.full(
+                (tile, 1), 1e30, jnp.float32)
+            bi_ref[pl.ds(s * tile, tile), :] = jnp.full(
+                (tile, 1), -1, jnp.int32)
+
+        @pl.when(n > 0)
+        def _():
+            _subtile_tests(s, n)
+
+        return 0
+
+    def _subtile_tests(s, n):
         sub = rays_ref[pl.ds(s * tile, tile), :]
         ox, oy, oz = sub[:, 0:1], sub[:, 1:2], sub[:, 2:3]
         dx, dy, dz = sub[:, 3:4], sub[:, 4:5], sub[:, 5:6]
         if mt:
             wx, wy, wz = sub[:, 6:7], sub[:, 7:8], sub[:, 8:9]
-        n = cand_ref[0, s, 0]
 
         def panel(k, bt):
             """Shared candidate-panel test: returns (cids, tm) where tm is
@@ -380,7 +422,6 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
 
         bt_ref[pl.ds(s * tile, tile), :] = bt
         bi_ref[pl.ds(s * tile, tile), :] = jnp.where(bt < 1e30, bi, -1)
-        return 0
 
     jax.lax.fori_loop(0, mega, subtile, 0)
 

@@ -58,3 +58,16 @@ def cond_flush(st, i):
     film = jax.lax.cond((i & 15) == 0, fire, lambda f, r: f, film, rad)
     return film, rad + 1e-9 * i
 run("cond every16 full scatter", cond_flush, (film0, rad0))
+
+def cond_flush_alias(st, i):
+    film, rad = st
+    def fire(f, r):
+        return f.at[(lane * 17 + i) % NPIX].add(r, unique_indices=True, mode="drop")
+    def idle(f, r):
+        # a 1-row dummy scatter instead of identity: both branches are then
+        # scatters into the same operand, which XLA can alias in place
+        return f.at[jnp.full((1,), NPIX + 7, jnp.int32)].add(
+            jnp.zeros((1, 3), f.dtype), unique_indices=True, mode="drop")
+    film = jax.lax.cond((i & 15) == 0, fire, idle, film, rad)
+    return film, rad + 1e-9 * i
+run("cond alias-idle scatter", cond_flush_alias, (film0, rad0))
