@@ -106,8 +106,14 @@ from montecarlopathtracing_tpu.integrator.wavefront import render_image_stats
 
 # Matched config: same spp/max_depth as forward; gradient accumulated over
 # spp chunks (d mean(render[0..spp]) = mean of chunk gradients).
+# bwd_seg_per_sample 2.45: measured 2.30 lane-iterations/sample on cornell-box
+# (590 while-loop iterations at spp 16, 64k lanes) + ~7% margin; an
+# insufficient budget surfaces as a negative ray count (checked below), so
+# this is a verified-tight scan length, not a hope.
 spp_chunk = cfg["spp_chunk"]
-opts = RenderOptions(spp=spp_chunk, max_depth=32, chunk_size=cfg["chunk"])
+opts = RenderOptions(spp=spp_chunk, max_depth=32, chunk_size=cfg["chunk"],
+                     bwd_seg_per_sample=float(os.environ.get(
+                         "MCPT_BWD_SEG", "2.45")))
 params = SceneParams.from_scene(scene)
 
 def chunk_loss(p, off):
@@ -134,6 +140,9 @@ for k in range(n_chunks):
     acc = g if acc is None else jax.tree_util.tree_map(lambda a, b: a + b, acc, g)
 jax.block_until_ready(acc.kd)
 dt = time.perf_counter() - t0
+# Negative nr = the static scan budget truncated in-flight samples (see
+# RenderOptions.bwd_seg_per_sample); report it as a failure, not a number.
+assert rays_total > 0, "bwd scan budget truncated samples; raise MCPT_BWD_SEG"
 result("bwd", {"rays": rays_total, "seconds": dt})
 """
 

@@ -144,6 +144,15 @@ class RenderOptions:
     # but the extra reverse-mode path costs ~40% backward time (measured on
     # v5e) — enable when optimizing Phong exponents.
     ns_gradient: bool = False
+    # Differentiable-path iteration budget, as expected lane-iterations per
+    # sample (camera segment + bounces + idle/tail overhead).  None = the
+    # conservative RR bound 1/(1-rr_probability) * 1.2; a measured value
+    # (cornell-box: 2.30 at 64k lanes) cuts the static lax.scan length — and
+    # with it BOTH the in-grad forward and the backward scan — by ~25%.
+    # A too-small budget drops unfinished tail samples; render_pixels_refill
+    # signals that by returning a NEGATIVE n_rays (callers should treat the
+    # film as biased and raise the budget).
+    bwd_seg_per_sample: Optional[float] = None
     compat: CompatOptions = dataclasses.field(default_factory=CompatOptions)
 
     def replace(self, **kw) -> "RenderOptions":

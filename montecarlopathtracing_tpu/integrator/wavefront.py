@@ -1067,8 +1067,14 @@ def render_pixels_refill(
         # minor dim is lane-sized, not 3) and are scattered into the film
         # once afterwards (duplicate dummy indices across iterations, so no
         # unique_indices claim — one combining scatter per frame).
-        e_seg = 1.0 / (1.0 - opts.rr_probability)  # upper bound on E[segments]
-        n_iter = (int(np.ceil(n_pix * spp * e_seg * 1.2 / r))
+        # Expected lane-iterations per sample: the RR bound 1/(1-p) * 1.2
+        # covers any scene; a measured opts.bwd_seg_per_sample (cornell-box:
+        # 2.30) trims ~25% off the scan length.  An insufficient budget is
+        # DETECTED below (negative n_rays), not silent.
+        e_seg = (opts.bwd_seg_per_sample
+                 if opts.bwd_seg_per_sample is not None
+                 else 1.2 / (1.0 - opts.rr_probability))
+        n_iter = (int(np.ceil(n_pix * spp * e_seg / r))
                   + opts.max_depth + spp + 4)
 
         remat_step = jax.checkpoint(
@@ -1088,7 +1094,11 @@ def render_pixels_refill(
         film = jnp.zeros((n_pix, 3), jnp.float32).at[
             slot_out.reshape(-1)
         ].add(rad_out.reshape(-1, 3), mode="drop")
-        n_rays = state[1]
+        # Budget check: samples still in flight past the static scan length
+        # were dropped from the film.  Signalled as a negated ray count so
+        # the (differentiable, aux) calling convention needn't change.
+        incomplete = (state[0] < n_pix) | jnp.any(state[2])
+        n_rays = jnp.where(incomplete, -state[1], state[1])
     else:
         flush_every = max(1, n_pend * spp)
 

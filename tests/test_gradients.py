@@ -149,3 +149,26 @@ def test_ns_gradient_matches_fd(tmp_path):
     # and match FD within MC tolerance.
     assert gval > 0 and fd > 0, (gval, fd)
     assert np.isclose(gval, fd, rtol=0.25, atol=0.02), (gval, fd)
+
+
+def test_bwd_seg_budget(box_scene, box_bvh):
+    """bwd_seg_per_sample controls the differentiable scan length.  A sane
+    budget must reproduce the default-budget film exactly and report a
+    positive ray count; a starvation budget must flag itself by negating
+    n_rays (wavefront.py render_pixels_refill, differentiable branch) instead
+    of silently dropping tail samples."""
+    from montecarlopathtracing_tpu.integrator.wavefront import (
+        render_image_stats)
+    scene, meta = box_scene
+    opts = RenderOptions(spp=2, max_depth=4, chunk_size=256)
+    img0, nr0 = render_image_stats(scene, box_bvh, opts, differentiable=True)
+    assert float(nr0) > 0
+    img1, nr1 = render_image_stats(
+        scene, box_bvh, opts.replace(bwd_seg_per_sample=2.6),
+        differentiable=True)
+    assert float(nr1) > 0
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    img2, nr2 = render_image_stats(
+        scene, box_bvh, opts.replace(bwd_seg_per_sample=0.01, max_depth=1),
+        differentiable=True)
+    assert float(nr2) < 0  # truncated budget is flagged, not silent
