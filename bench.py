@@ -90,7 +90,7 @@ result("setup", {"seconds": round(time.perf_counter() - t_start, 1),
 _FWD_STAGE = r"""
 from montecarlopathtracing_tpu.integrator.wavefront import render_image_host_chunked
 # One dispatch for the whole frame (spp 16 ~ 5 s on v5e, under the watchdog);
-# the backward stage keeps smaller chunks (its dispatches cost ~2.5x more).
+# the backward stage is likewise a single matched spp-16 gradient chunk.
 opts = RenderOptions(spp=cfg["spp"], max_depth=32, chunk_size=cfg["chunk"],
                      spp_chunk=cfg["spp"])
 render_image_host_chunked(scene, bvh, opts)  # warm up / compile
@@ -267,7 +267,9 @@ def main() -> None:
         "scene": os.environ.get("MCPT_BENCH_SCENE", "cornell-box"),
         "spp": int(os.environ.get("MCPT_BENCH_SPP", "16")),
         "chunk": int(os.environ.get("MCPT_BENCH_CHUNK", "65536")),
-        "spp_chunk": int(os.environ.get("MCPT_BENCH_SPP_CHUNK", "8")),
+        # One spp-16 gradient chunk measured 4% faster than 2 x spp-8 on v5e
+        # (1.20e7 vs 1.15e7 rays/s) and halves the dispatch count.
+        "spp_chunk": int(os.environ.get("MCPT_BENCH_SPP_CHUNK", "16")),
         "large_tris": int(os.environ.get("MCPT_BENCH_LARGE_TRIS", "400000")),
     }
     # Compile cache inside the repo: prewarmed during development sessions, so
