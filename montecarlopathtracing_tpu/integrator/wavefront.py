@@ -774,8 +774,15 @@ def render_pixels_refill(
     # flush-every-spp cadence fired 2-16x more often than at spp 16 (the
     # measured ~40% low-spp throughput gap, round-2 VERDICT item 3).  Giving
     # each lane n_pend staging slots stretches the safe cadence to
-    # n_pend * spp iterations at the price of a slightly larger sort payload.
-    n_pend = 1 if differentiable else max(1, min(8, -(-16 // spp)))
+    # n_pend * spp iterations at the price of a larger sort payload — capped
+    # at 2 slots: at P=4/spp=4 the 59-column permute payload stopped fusing
+    # with its gather and cost 1.33 ms/iter in payload-assembly copies
+    # (profiled; <= 55 columns fuses).  Lane-LOCAL pend registers (out of
+    # the sort payload entirely) were measured worse at every spp: the sort
+    # concentrates completions into physical-lane regions, forcing either
+    # ~9-iteration flush fires (P=8 guard-only: 20.5 ms/fire at 524k rows)
+    # or overwrite-unsafe staging — see the round-3 journey notes.
+    n_pend = 1 if differentiable else max(1, min(2, -(-16 // spp)))
     dummy_pend = (jnp.int32(n_pix) + lane_iota[:, None] * n_pend
                   + jnp.arange(n_pend, dtype=jnp.int32)[None, :])  # (r, P)
 
