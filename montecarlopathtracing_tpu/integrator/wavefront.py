@@ -934,14 +934,20 @@ def render_pixels_refill(
             w = opts.cluster_width
             cluster = (jnp.maximum(tri_a, 0) >> (w.bit_length() - 1)
                        if w & (w - 1) == 0 else jnp.maximum(tri_a, 0) // w)
-            octant = (
-                (direction[:, 0] > 0).astype(jnp.int32) * 4
-                + (direction[:, 1] > 0).astype(jnp.int32) * 2
-                + (direction[:, 2] > 0).astype(jnp.int32)
+            # 6-bit direction bin: sign + |component| > 0.5 per axis — a
+            # finer split than the plain octant tightens each bounce
+            # subtile's candidate union.
+            db = (
+                (direction[:, 0] > 0).astype(jnp.int32) * 32
+                + (direction[:, 1] > 0).astype(jnp.int32) * 16
+                + (direction[:, 2] > 0).astype(jnp.int32) * 8
+                + (jnp.abs(direction[:, 0]) > 0.5).astype(jnp.int32) * 4
+                + (jnp.abs(direction[:, 1]) > 0.5).astype(jnp.int32) * 2
+                + (jnp.abs(direction[:, 2]) > 0.5).astype(jnp.int32)
             )
             bucket = jnp.where(kind == KIND_PRIMARY, jnp.int32(1 << 20), cluster)
-            sort_key = jnp.where(active & was_fresh, bucket * 8 + octant,
-                                 jnp.where(active, jnp.int32(1 << 24),
+            sort_key = jnp.where(active & was_fresh, bucket * 64 + db,
+                                 jnp.where(active, jnp.int32(1 << 27),
                                            jnp.int32(2 ** 30)))
             perm = jnp.argsort(sort_key)
             l = num_lights
