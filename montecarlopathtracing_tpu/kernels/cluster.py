@@ -575,8 +575,13 @@ def candidate_stats(scene, opts, bvh=None):
     ty = np.cross(gn, tx)
     bd = (tx * (st * np.cos(phi))[:, None] + ty * (st * np.sin(phi))[:, None]
           + gn * ct[:, None]).astype(np.float32)
-    octant = ((bd[:, 0] > 0) * 4 + (bd[:, 1] > 0) * 2 + (bd[:, 2] > 0)).astype(int)
-    key = np.maximum(np.asarray(tri), 0) // width * 8 + octant
+    # Mirror the renderer's 6-bit direction bin (sign + |component| > 0.5
+    # per axis, wavefront.py wavefront sort) so the measured candidate
+    # density matches what the production sort actually produces.
+    db = ((bd[:, 0] > 0) * 32 + (bd[:, 1] > 0) * 16 + (bd[:, 2] > 0) * 8
+          + (np.abs(bd[:, 0]) > 0.5) * 4 + (np.abs(bd[:, 1]) > 0.5) * 2
+          + (np.abs(bd[:, 2]) > 0.5)).astype(int)
+    key = np.maximum(np.asarray(tri), 0) // width * 64 + db
     perm = np.argsort(key, kind="stable")
     bounce = popmean(jnp.asarray(p[perm] + bd[perm] * 0.01), jnp.asarray(bd[perm]))
 
