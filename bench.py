@@ -106,14 +106,16 @@ from montecarlopathtracing_tpu.integrator.wavefront import render_image_stats
 
 # Matched config: same spp/max_depth as forward; gradient accumulated over
 # spp chunks (d mean(render[0..spp]) = mean of chunk gradients).
-# bwd_seg_per_sample 2.45: measured 2.30 lane-iterations/sample on cornell-box
-# (590 while-loop iterations at spp 16, 64k lanes) + ~7% margin; an
-# insufficient budget surfaces as a negative ray count (checked below), so
-# this is a verified-tight scan length, not a hope.
+# bwd_seg_per_sample 2.15: the scan budget formula adds a +max_depth+spp+4
+# tail term on top, and the measured need is 590 iterations at spp 16 / 64k
+# lanes (while-loop count) vs the 606 this budget yields — a 2.7% margin over
+# a DETERMINISTIC sample set (fixed seed/offsets).  2.1 also completes
+# (measured); an insufficient budget surfaces as a negative ray count
+# (asserted below), so this is a verified-tight scan length, not a hope.
 spp_chunk = cfg["spp_chunk"]
 opts = RenderOptions(spp=spp_chunk, max_depth=32, chunk_size=cfg["chunk"],
                      bwd_seg_per_sample=float(os.environ.get(
-                         "MCPT_BWD_SEG", "2.45")))
+                         "MCPT_BWD_SEG", "2.15")))
 params = SceneParams.from_scene(scene)
 
 def chunk_loss(p, off):
