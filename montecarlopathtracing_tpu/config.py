@@ -126,9 +126,12 @@ class RenderOptions:
     # so the cap is set well past every workload in sight and the packet
     # walk remains only as the CPU/test and explicit-opt-in path.
     max_table_chunks: int = 32
-    # Wavefront ray sorting by (hit cluster, direction octant) per bounce —
+    # Wavefront ray sorting by (hit cluster, direction bin) per bounce —
     # restores tile coherence for shadow/bounce rays. None = on iff the
-    # cluster intersector is active. Results are bitwise independent of this.
+    # cluster intersector is active. The estimator is identical either way
+    # (same paths, same RNG streams); single-light renders are bitwise
+    # sort-independent, multi-light renders agree to FP-contraction ULPs
+    # (the post-sort NEE recompute fuses differently; tested ~1e-7 rel).
     sort_rays: Optional[bool] = None
     # Persistent-wavefront lane refill: retire finished paths and refill
     # lanes with fresh samples instead of re-running the bounce loop at

@@ -867,11 +867,23 @@ def render_pixels_refill(
 
         u = rng.bounce_uniforms(keys, depth, n_slots)
         # NEE sampling/geometry; visibility resolves after the combined call.
-        # The contribution is scaled by the PRE-RR-update beta here so it
-        # needs no separate carry through the sort.
-        so_s, dirn_s, contrib, ok_n, dist_n, smat_n = _nee_prep(
-            scene, opts, p, pn, kd, u, shade)
-        contrib = contrib * beta[None]
+        # The contribution is scaled by the PRE-RR-update beta.  With >= 2
+        # lights the per-light NEE products (11L permute columns) would push
+        # the sort payload past its ~55-column gather-fusion cliff (measured
+        # 1.33 ms/iter of payload-assembly copies), so the prep moves AFTER
+        # the sort: only its compact inputs ride (p, pn, kd, pre-RR beta,
+        # pre-transition keys/depth — 15 columns, L-independent) and the
+        # uniforms are re-derived from the sorted counter-RNG keys, giving
+        # bitwise-identical streams.
+        post_nee = do_sort and num_lights >= 2
+        if post_nee:
+            beta_nee = beta
+            keys_nee = keys
+            depth_nee = depth
+        else:
+            so_s, dirn_s, contrib, ok_n, dist_n, smat_n = _nee_prep(
+                scene, opts, p, pn, kd, u, shade)
+            contrib = contrib * beta[None]
         cont = shade & (u[:, 0] < opts.rr_probability)
         new_o, new_d, rtype, weight = _next_ray(
             scene, opts, p, pn, matf, kd, direction, u
@@ -951,32 +963,53 @@ def render_pixels_refill(
                                            jnp.int32(2 ** 30)))
             perm = jnp.argsort(sort_key)
             l = num_lights
-            (origin, direction, beta, rad, pend_r, pend_g, pend_b, f_pack,
-             so_p, dn_p, ct_p), \
-                (slot, pix, samp, samp_left, keys, depth, kind, active,
-                 was_fresh, prim_ok, prim_hit, prim_tri, pend_slot,
-                 pend_count, shade, take, pixel_done, slot_done, ok_p,
-                 smat_p) = _permute_rows(
-                    perm,
-                    (origin, direction, beta, rad, pend_r, pend_g, pend_b,
-                     jnp.stack([prim_t] + [dist_n[i] for i in range(l)],
-                               axis=1),
-                     so_s.transpose(1, 0, 2).reshape(r, 3 * l),
-                     dirn_s.transpose(1, 0, 2).reshape(r, 3 * l),
-                     contrib.transpose(1, 0, 2).reshape(r, 3 * l)),
+            if post_nee:
+                (origin, direction, beta, rad, pend_r, pend_g, pend_b,
+                 f_pack, p_s, pn_s, kd_s, beta_nee), \
                     (slot, pix, samp, samp_left, keys, depth, kind, active,
                      was_fresh, prim_ok, prim_hit, prim_tri, pend_slot,
                      pend_count, shade, take, pixel_done, slot_done,
-                     ok_n.T.astype(jnp.int32) if l > 1 else ok_n[0],
-                     smat_n.T if l > 1 else smat_n[0]),
-                )
-            prim_t = f_pack[:, 0]
-            dist_n = f_pack[:, 1:].T
-            so_s = so_p.reshape(r, l, 3).transpose(1, 0, 2)
-            dirn_s = dn_p.reshape(r, l, 3).transpose(1, 0, 2)
-            contrib = ct_p.reshape(r, l, 3).transpose(1, 0, 2)
-            ok_n = (ok_p.T != 0) if l > 1 else ok_p[None]
-            smat_n = smat_p.T if l > 1 else smat_p[None]
+                     keys_nee, depth_nee) = _permute_rows(
+                        perm,
+                        (origin, direction, beta, rad, pend_r, pend_g,
+                         pend_b, prim_t[:, None], p, pn, kd, beta_nee),
+                        (slot, pix, samp, samp_left, keys, depth, kind,
+                         active, was_fresh, prim_ok, prim_hit, prim_tri,
+                         pend_slot, pend_count, shade, take, pixel_done,
+                         slot_done, keys_nee, depth_nee),
+                    )
+                prim_t = f_pack[:, 0]
+                u2 = rng.bounce_uniforms(keys_nee, depth_nee, n_slots)
+                so_s, dirn_s, contrib, ok_n, dist_n, smat_n = _nee_prep(
+                    scene, opts, p_s, pn_s, kd_s, u2, shade)
+                contrib = contrib * beta_nee[None]
+            else:
+                (origin, direction, beta, rad, pend_r, pend_g, pend_b, f_pack,
+                 so_p, dn_p, ct_p), \
+                    (slot, pix, samp, samp_left, keys, depth, kind, active,
+                     was_fresh, prim_ok, prim_hit, prim_tri, pend_slot,
+                     pend_count, shade, take, pixel_done, slot_done, ok_p,
+                     smat_p) = _permute_rows(
+                        perm,
+                        (origin, direction, beta, rad, pend_r, pend_g, pend_b,
+                         jnp.stack([prim_t] + [dist_n[i] for i in range(l)],
+                                   axis=1),
+                         so_s.transpose(1, 0, 2).reshape(r, 3 * l),
+                         dirn_s.transpose(1, 0, 2).reshape(r, 3 * l),
+                         contrib.transpose(1, 0, 2).reshape(r, 3 * l)),
+                        (slot, pix, samp, samp_left, keys, depth, kind, active,
+                         was_fresh, prim_ok, prim_hit, prim_tri, pend_slot,
+                         pend_count, shade, take, pixel_done, slot_done,
+                         ok_n.T.astype(jnp.int32) if l > 1 else ok_n[0],
+                         smat_n.T if l > 1 else smat_n[0]),
+                    )
+                prim_t = f_pack[:, 0]
+                dist_n = f_pack[:, 1:].T
+                so_s = so_p.reshape(r, l, 3).transpose(1, 0, 2)
+                dirn_s = dn_p.reshape(r, l, 3).transpose(1, 0, 2)
+                contrib = ct_p.reshape(r, l, 3).transpose(1, 0, 2)
+                ok_n = (ok_p.T != 0) if l > 1 else ok_p[None]
+                smat_n = smat_p.T if l > 1 else smat_p[None]
 
         # --- ONE combined intersect: next arrivals + all shadow rays.
         ray_o = jnp.where((active & was_fresh)[:, None], origin, 1e9)
