@@ -103,6 +103,7 @@ def test_inverse_rendering_step_reduces_loss(box_scene, box_bvh):
     assert loss1 < loss0
 
 
+@pytest.mark.slow  # 30 s: 4096-spp MC estimate of a score-function gradient
 def test_ns_gradient_matches_fd(tmp_path):
     """d(image)/d(Ns) via the score-function surrogate (wavefront._next_ray)
     vs central finite differences, on a setup built to make the Ns signal

@@ -91,8 +91,8 @@ def test_multilight_sorted_matches_unsorted():
 
     scene, _ = m.load_scene("/root/reference/scene", "veach-mis")
     bvh = build_lbvh(scene)
-    ids = jnp.arange(512, dtype=jnp.int32) + 1200 * 520  # mid-frame rows
-    base = RenderOptions(spp=2, max_depth=6, chunk_size=512, compat=MODERN)
+    ids = jnp.arange(256, dtype=jnp.int32) + 1200 * 520  # mid-frame rows
+    base = RenderOptions(spp=2, max_depth=4, chunk_size=256, compat=MODERN)
     assert scene.num_lights >= 2
     r_u, n_u = render_pixels(scene, bvh, base.replace(sort_rays=False), ids)
     r_s, n_s = render_pixels(scene, bvh, base.replace(sort_rays=True), ids)
