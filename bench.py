@@ -174,7 +174,9 @@ scene, meta = load_builtin_large(cfg.get("large_tris", 400_000))
 bvh = build_lbvh_host(scene)
 jax.block_until_ready(bvh.node_min)
 result("large_setup", {})
-opts = RenderOptions(spp=4, max_depth=32, chunk_size=cfg["chunk"], spp_chunk=2)
+# Single dispatch: 2 x spp-2 chunks measured 4.8e6 vs 5.3e6 rays/s (the
+# second dispatch re-pays the queue tail and the spp-2 flush cadence).
+opts = RenderOptions(spp=4, max_depth=32, chunk_size=cfg["chunk"], spp_chunk=4)
 render_image_host_chunked(scene, bvh, opts)  # warm up
 t0 = time.perf_counter()
 img, n_rays = render_image_host_chunked(scene, bvh, opts)
