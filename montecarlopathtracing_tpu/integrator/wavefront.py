@@ -466,11 +466,28 @@ def _nee_resolve(scene, opts: RenderOptions, contrib, ok, dist_real, smat,
     sample_face.material, MTPC/pathTracing.cpp:77).
     """
     compat = opts.compat
+    # smat is always a LIGHT material id or -1 (quirk #4 fall-through), and
+    # light materials map 1:1 to light face lists, so mat_id[tri] == smat is
+    # equivalent to tri being one of that light's faces.  With few total
+    # light faces that's a handful of (R,) vector compares instead of a
+    # per-light (R,) scalar-path gather (~0.47 ms each at 64k lanes — 2.3
+    # ms/iteration on the 5-light veach scene).
+    lf = scene.light_face_tri
+    small_faces = (scene.num_lights * lf.shape[1] <= 64
+                   if scene.num_lights else False)
     l_dir = 0.0
     for li in range(scene.num_lights):
         if compat.material_equality_visibility:
-            m_s = _gather_i32(scene.mat_id, jnp.maximum(tri_s[li], 0))
-            vis = hit_s[li] & (m_s == smat[li])
+            if small_faces:
+                vis = jnp.zeros(tri_s[li].shape, bool)
+                for lj in range(scene.num_lights):
+                    member = jnp.any(
+                        tri_s[li][:, None] == lf[lj][None, :], axis=1)
+                    vis = vis | ((smat[li] == scene.light_mat[lj]) & member)
+                vis = hit_s[li] & vis
+            else:
+                m_s = _gather_i32(scene.mat_id, jnp.maximum(tri_s[li], 0))
+                vis = hit_s[li] & (m_s == smat[li])
         else:
             vis = (~hit_s[li]) | (t_s[li] + opts.ray_epsilon >= dist_real[li] - 1e-3)
         l_dir = l_dir + jnp.where((ok[li] & vis)[:, None], contrib[li], 0.0)
