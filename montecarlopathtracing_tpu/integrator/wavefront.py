@@ -420,8 +420,20 @@ def _nee_prep(scene, opts: RenderOptions, p, pn, kd, u, alive):
         j, found = pick_light_face(scene.light_face_cum_area[li],
                                    scene.light_total_area[li], u_pick,
                                    pick_total)
-        tri = _gather_i32(scene.light_face_tri[li], j)
-        lrow = tab[tri]  # one row gather for the light triangle's fields
+        n_faces = scene.light_face_tri.shape[1]
+        if n_faces <= 4:
+            # Few-face lights (every reference scene: 2): the face-id gather
+            # + row gather per light (~1 ms/iteration at 64k lanes, paid
+            # AGAIN in the backward remat) collapse to a select chain over
+            # the loop-invariant (F, 32) per-light table.
+            ltab = tab[scene.light_face_tri[li]]  # (F, 32), hoisted by XLA
+            lrow = jnp.broadcast_to(ltab[n_faces - 1][None, :],
+                                    (j.shape[0], ltab.shape[1]))
+            for f in range(n_faces - 2, -1, -1):
+                lrow = jnp.where((j == f)[:, None], ltab[f][None, :], lrow)
+        else:
+            tri = _gather_i32(scene.light_face_tri[li], j)
+            lrow = tab[tri]  # one row gather for the light's fields
         xl, vnl = sample_triangle_point(
             lrow[:, 0:3], lrow[:, 3:6], lrow[:, 6:9],
             lrow[:, 9:12], lrow[:, 12:15], lrow[:, 15:18],
