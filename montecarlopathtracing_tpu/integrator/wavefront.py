@@ -1165,6 +1165,10 @@ def render_pixels_refill(
         state, (rad_out, slot_out) = jax.lax.scan(
             scan_body, state0, None, length=n_iter
         )
+        # One row-of-3 scatter: at this scale (n_iter * r ~ 41M rows) it
+        # measured FASTER than three channel-major 1-D adds (5.25 vs 4.46 s
+        # per gradient chunk) — the opposite of the small per-fire flushes
+        # in the forward path below.
         rad_out = rad_out.reshape(n_iter, 3, r).transpose(0, 2, 1)
         film = jnp.zeros((n_pix, 3), jnp.float32).at[
             slot_out.reshape(-1)
@@ -1181,10 +1185,20 @@ def render_pixels_refill(
             # Index set is unique by construction: real slots are owned by
             # exactly one (lane, position); dummies are
             # n_pix + lane * n_pend + position (out of bounds, dropped).
-            upd = jnp.stack([pend_r.reshape(-1), pend_g.reshape(-1),
-                             pend_b.reshape(-1)], axis=1)  # (r*P, 3)
-            film = film.at[pend_slot.reshape(-1)].add(
-                upd, unique_indices=True, mode="drop")
+            # The film is CHANNEL-MAJOR (3, n_pix): three 1-D scatter-adds
+            # measured ~half the cost of one row-of-3 scatter (the (N, 3)
+            # layout pays minor-dim padding in the cond's film branch copy;
+            # tools/probe_flush.py), and the pend registers are already
+            # channel-split.
+            idx = pend_slot.reshape(-1)
+            film = jnp.stack([
+                film[0].at[idx].add(pend_r.reshape(-1),
+                                    unique_indices=True, mode="drop"),
+                film[1].at[idx].add(pend_g.reshape(-1),
+                                    unique_indices=True, mode="drop"),
+                film[2].at[idx].add(pend_b.reshape(-1),
+                                    unique_indices=True, mode="drop"),
+            ])
             return film, dummy_pend, jnp.zeros((r,), jnp.int32)
 
         def cond(carry):
@@ -1206,11 +1220,12 @@ def render_pixels_refill(
 
         _, state, film = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), state0, jnp.zeros((n_pix, 3), jnp.float32)),
+            (jnp.int32(0), state0, jnp.zeros((3, n_pix), jnp.float32)),
         )
         # Drain pendings staged since the last cadence boundary.
         film, _, _ = do_flush(film, state[18], state[24], state[25],
                               state[26], state[19])
+        film = film.T  # back to (n_pix, 3) once per dispatch
         n_rays = state[1]
     return film / spp, n_rays
 

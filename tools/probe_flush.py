@@ -71,3 +71,15 @@ def cond_flush_alias(st, i):
     film = jax.lax.cond((i & 15) == 0, fire, idle, film, rad)
     return film, rad + 1e-9 * i
 run("cond alias-idle scatter", cond_flush_alias, (film0, rad0))
+
+film0_t = jnp.zeros((3, NPIX), jnp.float32)
+def cond_flush_chmajor(st, i):
+    film, rad = st
+    def fire(f, r):
+        # channel-major film: scatter along the TRAILING axis via 3 1-D adds
+        idx = (lane * 17 + i) % NPIX
+        return jnp.stack([f[c].at[idx].add(r[:, c], mode="drop")
+                          for c in range(3)])
+    film = jax.lax.cond((i & 15) == 0, fire, lambda f, r: f, film, rad)
+    return film, rad + 1e-9 * i
+run("cond every16 channel-major film", cond_flush_chmajor, (film0_t, rad0))
