@@ -1404,9 +1404,14 @@ def render_image_host_chunked(
         done = 0
         total_rays = 0.0
         n_steps = -(-opts.spp // spp_chunk)
+        # Balanced chunk sizes: spp 25 at spp_chunk 8 renders 7+6+6+6, not
+        # 8+8+8+1 — a 1-spp remainder dispatch runs at ~40% of headline
+        # throughput (per-frame fixed cost, see BASELINE spp sweep), and
+        # balancing still compiles at most two distinct programs.
+        base, extra = divmod(opts.spp, n_steps)
         step = 0
         while done < opts.spp:
-            k = min(spp_chunk, opts.spp - done)
+            k = base + (1 if step < extra else 0)
             rad, rays = dispatch(
                 _render_refill_jit,
                 scene, bvh, opts.replace(spp=k), ids,
