@@ -631,7 +631,7 @@ def trace_paths(
 
     Wavefront sorting (opts.sort_rays, default on with the cluster
     intersector): after lobe sampling, the live wavefront is permuted by
-    (hit-cluster, new-direction octant) so both the NEE shadow rays (origins
+    (hit-cluster, new-direction bin) so both the NEE shadow rays (origins
     = hit points, grouped by cluster) and the bounce rays (grouped by origin
     AND direction cone) present coherent tiles to the intersector — the TPU
     counterpart of a GPU wavefront tracer's ray-compaction pass.  Every
@@ -663,12 +663,16 @@ def trace_paths(
             w = opts.cluster_width
             cluster = (jnp.maximum(tri, 0) >> (w.bit_length() - 1)
                        if w & (w - 1) == 0 else jnp.maximum(tri, 0) // w)
-            octant = (
-                (new_d[:, 0] > 0).astype(jnp.int32) * 4
-                + (new_d[:, 1] > 0).astype(jnp.int32) * 2
-                + (new_d[:, 2] > 0).astype(jnp.int32)
+            # Same 6-bit direction bin as the refill renderer's sort.
+            db = (
+                (new_d[:, 0] > 0).astype(jnp.int32) * 32
+                + (new_d[:, 1] > 0).astype(jnp.int32) * 16
+                + (new_d[:, 2] > 0).astype(jnp.int32) * 8
+                + (jnp.abs(new_d[:, 0]) > 0.5).astype(jnp.int32) * 4
+                + (jnp.abs(new_d[:, 1]) > 0.5).astype(jnp.int32) * 2
+                + (jnp.abs(new_d[:, 2]) > 0.5).astype(jnp.int32)
             )
-            sort_key = jnp.where(alive, cluster * 8 + octant, jnp.int32(2**30))
+            sort_key = jnp.where(alive, cluster * 64 + db, jnp.int32(2**30))
             perm = jnp.argsort(sort_key)
             (p, pn, kd, new_o, new_d, weight, beta, radiance, u), \
                 (ray_type, keys, slot, alive, cont) = _permute_rows(
@@ -971,7 +975,7 @@ def render_pixels_refill(
 
         if do_sort:
             # Coherence grouping for the UPCOMING combined call: bounce
-            # segments by (origin cluster, new direction octant); camera
+            # segments by (origin cluster, new direction bin); camera
             # segments share one bucket; cached/inactive lanes park at the
             # end.  Shadow rays inherit their lane's position, so they sort
             # coherently too (origins cluster with the bounce origins).
