@@ -1411,10 +1411,18 @@ def render_image_host_chunked(
         done = 0
         total_rays = 0.0
         n_steps = -(-opts.spp // spp_chunk)
-        # Balanced chunk sizes: spp 25 at spp_chunk 8 renders 7+6+6+6, not
+        # Balanced chunk sizes: spp 25 at spp_chunk 8 renders 5x5, not
         # 8+8+8+1 — a 1-spp remainder dispatch runs at ~40% of headline
-        # throughput (per-frame fixed cost, see BASELINE spp sweep), and
-        # balancing still compiles at most two distinct programs.
+        # throughput (per-frame fixed cost, see BASELINE spp sweep).  Prefer
+        # EQUAL chunks (one compiled program — the tunneled device wedges a
+        # process that compiles+runs a second distinct large program, and
+        # one program also halves cold-compile time); fall back to
+        # base/base+1 (two programs) when no divisor lands near the
+        # requested chunk size.
+        for n in range(n_steps, min(2 * n_steps, opts.spp) + 1):
+            if opts.spp % n == 0:
+                n_steps = n
+                break
         base, extra = divmod(opts.spp, n_steps)
         step = 0
         while done < opts.spp:
