@@ -138,13 +138,16 @@ acc = None
 rays_total = 0.0
 for k in range(n_chunks):
     g, nr = gfn(params, 1 + k * spp_chunk)
+    # Negative nr = the static scan budget truncated THIS chunk's in-flight
+    # samples (see RenderOptions.bwd_seg_per_sample).  Checked per chunk: a
+    # single truncated chunk must not be masked by positive siblings in the
+    # aggregate — a truncated chunk means a biased gradient.
+    assert float(nr) > 0, \
+        "bwd scan budget truncated samples; raise MCPT_BWD_SEG"
     rays_total += float(nr)
     acc = g if acc is None else jax.tree_util.tree_map(lambda a, b: a + b, acc, g)
 jax.block_until_ready(acc.kd)
 dt = time.perf_counter() - t0
-# Negative nr = the static scan budget truncated in-flight samples (see
-# RenderOptions.bwd_seg_per_sample); report it as a failure, not a number.
-assert rays_total > 0, "bwd scan budget truncated samples; raise MCPT_BWD_SEG"
 result("bwd", {"rays": rays_total, "seconds": dt})
 """
 

@@ -486,7 +486,10 @@ def _nee_resolve(scene, opts: RenderOptions, contrib, ok, dist_real, smat,
     # equivalent to tri being one of that light's faces.  With few total
     # light faces that's a handful of (R,) vector compares instead of a
     # per-light (R,) scalar-path gather (~0.47 ms each at 64k lanes — 2.3
-    # ms/iteration on the 5-light veach scene).
+    # ms/iteration on the 5-light veach scene).  Zero-face lights are safe:
+    # the loader pads their light_face_tri row with -1, which never equals a
+    # real hit triangle id (mat_id equality on such a light is likewise
+    # never true — no triangle carries its material).
     lf = scene.light_face_tri
     small_faces = (scene.num_lights * lf.shape[1] <= 64
                    if scene.num_lights else False)
@@ -1385,6 +1388,10 @@ def render_image_host_chunked(
     In refill mode (the forward default) each dispatch drains the whole
     frame's queue for a slice of spp_chunk samples; otherwise each dispatch
     renders one pixel chunk at full spp.  Returns ((H,W,3) f32, rays traced).
+    The frame is a DEVICE array in both modes (assembled on device in refill
+    mode; pulling the 12 MB film through the axon tunnel costs ~0.4-0.5 s
+    that callers writing a PNG pay exactly once via np.asarray) — callers
+    must not mutate it in place.
     """
     import numpy as np
 
@@ -1475,4 +1482,6 @@ def render_image_host_chunked(
         flat[ids_np[ci]] = np.asarray(acc) / opts.spp
         if progress is not None:
             progress(ci + 1, n_chunks)
-    return flat.reshape(h, w, 3), total_rays
+    # Same return type as the refill branch (device array, not a mutable
+    # host ndarray) so callers see one contract regardless of opts.refill.
+    return jnp.asarray(flat.reshape(h, w, 3)), total_rays

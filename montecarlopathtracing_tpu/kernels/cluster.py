@@ -226,6 +226,10 @@ def _candidate_keys(rays, caabb, tile: int, mega: int, interpret: bool):
     n_steps = rays.shape[0] // (tile * mega)
     c = caabb.shape[1]
     # Per-subtile all-parked flags (cheap XLA segment-min over origin-x).
+    # Threshold 5e8 vs the exact 1e9 park sentinel: halfway leaves slack for
+    # any epsilon arithmetic on parked origins.  Scenes are guaranteed within
+    # |x| <= 1e8 by the extent check in scene/loader.py, so a real ray origin
+    # can never cross it.
     flags = (jnp.min(rays[:, 0].reshape(n_steps, mega, tile), axis=2)
              > 5e8).astype(jnp.int32).reshape(n_steps, 1, mega)
     key = pl.pallas_call(

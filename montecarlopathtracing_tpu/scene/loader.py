@@ -375,7 +375,11 @@ def build_scene(
         idx = idx[np.argsort(order_padded[idx], kind="stable")]
         per_light_faces.append(idx)
         fmax = max(fmax, len(idx))
-    light_face_tri = np.zeros((max(num_lights, 1), fmax), np.int32)
+    # Zero-face lights (a camera-file light whose material no triangle uses)
+    # keep a -1 row: -1 never equals a real hit triangle id, so the
+    # light-face MEMBERSHIP visibility test (wavefront._nee_resolve) stays
+    # false — an all-zero row would falsely count triangle 0 as a light face.
+    light_face_tri = np.full((max(num_lights, 1), fmax), -1, np.int32)
     light_face_cum = np.full((max(num_lights, 1), fmax), np.float32(1.0))
     light_total = np.ones(max(num_lights, 1), np.float32)
     for li in range(num_lights):
@@ -389,6 +393,22 @@ def build_scene(
         light_face_cum[li, : len(idx)] = cum
         light_face_cum[li, len(idx):] = total
         light_total[li] = total
+
+    # Scene-extent contract for the cluster kernel's parked-ray skip: parked
+    # rays sit at origin 1e9 and both Pallas kernels classify a subtile as
+    # all-parked via min(origin.x) > 5e8 (kernels/cluster.py).  Geometry or a
+    # camera eye beyond 5e8 would silently drop intersections, so reject it
+    # here at load time (every reference-class scene is within a few hundred
+    # units; 1e8 leaves a 5x margin).
+    _extent = max(
+        float(np.max(np.abs(np.concatenate([p0, p1, p2])))) if len(p0) else 0.0,
+        float(np.max(np.abs(np.asarray(cam["eye"], np.float32)))),
+    )
+    if _extent > 1e8:
+        raise ValueError(
+            f"scene extent {_extent:.3g} exceeds the 1e8 bound required by "
+            "the parked-ray sentinel (origin 1e9, all-parked threshold 5e8) "
+            "in kernels/cluster.py")
 
     camera = CameraArrays(
         eye=jnp.asarray(cam["eye"], jnp.float32),

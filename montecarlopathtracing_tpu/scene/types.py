@@ -81,7 +81,7 @@ class SceneArrays:
     # MTPC/sceneManagement.cpp:241-258 and :182).
     light_mat: Any  # (L,) i32 material id of each light
     light_radiance: Any  # (L,3)
-    light_face_tri: Any  # (L,F) i32 triangle index per light face (padded w/ last)
+    light_face_tri: Any  # (L,F) i32 tri index per light face (padded w/ last; all -1 for a zero-face light)
     light_face_cum_area: Any  # (L,F) cumulative face areas; pad rows = total
     light_total_area: Any  # (L,)
 

@@ -125,3 +125,73 @@ def test_veach_mis_counts():
     cam, lights = parse_camera(os.path.join(REFERENCE_SCENES, "veach-mis.camera"))
     assert cam["width"] == 1200 and cam["height"] == 900
     assert len(lights) == 5
+
+
+def test_zero_face_light_row_is_minus_one(tmp_path):
+    """A camera-file light whose material no face uses gets a -1-padded
+    light_face_tri row, so the membership visibility test (wavefront.
+    _nee_resolve) can never count a real triangle as one of its faces."""
+    import montecarlopathtracing_tpu as m
+    from tests.conftest import make_box_scene
+
+    obj, mtl, cam = make_box_scene()
+    mtl += "newmtl Ghost\nKd 0 0 0\nKs 0 0 0\nNs 1\nNi 1\n"
+    cam += "mtlname Ghost 5 5 5\n"
+    (tmp_path / "ghost.obj").write_text(obj)
+    (tmp_path / "ghost.mtl").write_text(mtl)
+    (tmp_path / "ghost.camera").write_text(cam)
+    scene, meta = m.load_scene(str(tmp_path), "ghost", use_native=False)
+    assert scene.num_lights == 2
+    lf = np.asarray(scene.light_face_tri)
+    # Real light row: valid triangle ids of the Light material.
+    li_mat = int(np.asarray(scene.light_mat)[0])
+    assert np.all(np.asarray(scene.mat_id)[lf[0]] == li_mat)
+    # Ghost row: all -1.
+    assert np.all(lf[1] == -1)
+
+
+def test_zero_face_light_membership_visibility(tmp_path):
+    """Shadow ray hitting triangle 0 with smat == the ghost light's material
+    must be INVISIBLE (an all-zero row would falsely match triangle 0)."""
+    import jax.numpy as jnp
+    import montecarlopathtracing_tpu as m
+    from montecarlopathtracing_tpu.integrator.wavefront import _nee_resolve
+    from tests.conftest import make_box_scene
+
+    obj, mtl, cam = make_box_scene()
+    mtl += "newmtl Ghost\nKd 0 0 0\nKs 0 0 0\nNs 1\nNi 1\n"
+    cam += "mtlname Ghost 5 5 5\n"
+    (tmp_path / "ghost.obj").write_text(obj)
+    (tmp_path / "ghost.mtl").write_text(mtl)
+    (tmp_path / "ghost.camera").write_text(cam)
+    scene, _ = m.load_scene(str(tmp_path), "ghost", use_native=False)
+    opts = RenderOptions(spp=1)
+    ghost_mat = int(np.asarray(scene.light_mat)[1])
+    l, r = 2, 4
+    contrib = jnp.ones((l, r, 3), jnp.float32)
+    ok = jnp.ones((l, r), bool)
+    dist = jnp.ones((l, r), jnp.float32)
+    # Every shadow ray hits triangle 0 and claims the ghost material.
+    smat = jnp.full((l, r), ghost_mat, jnp.int32)
+    hit_s = jnp.ones((l, r), bool)
+    t_s = jnp.full((l, r), 0.5, jnp.float32)
+    tri_s = jnp.zeros((l, r), jnp.int32)
+    out = np.asarray(_nee_resolve(scene, opts, contrib, ok, dist, smat,
+                                  hit_s, t_s, tri_s))
+    assert np.all(out == 0.0)
+
+
+def test_scene_extent_guard(tmp_path):
+    """Geometry beyond the 5e8 parked-ray threshold must be rejected at load
+    (kernels/cluster.py park-at-1e9 contract)."""
+    import montecarlopathtracing_tpu as m
+    from tests.conftest import make_box_scene
+
+    obj, mtl, cam = make_box_scene()
+    # 24 verts in the box scene; absolute indices for the far triangle.
+    obj += "v 2e8 0 0\nv 2e8 1 0\nv 2e8 0 1\nusemtl White\nf 25 26 27\n"
+    (tmp_path / "far.obj").write_text(obj)
+    (tmp_path / "far.mtl").write_text(mtl)
+    (tmp_path / "far.camera").write_text(cam)
+    with pytest.raises(ValueError, match="extent"):
+        m.load_scene(str(tmp_path), "far", use_native=False)
