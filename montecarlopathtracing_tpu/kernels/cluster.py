@@ -51,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = jnp.float32(1e30)
 
+_BRANCHLESS = False
+
 # Row layout of the per-triangle constant table (16 rows per cluster block),
 # compat (plane + edge-sign) variant.
 _R_N = 0      # rows 0..2   geometric normal n
@@ -318,19 +320,24 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
     def subtile(s, _):
         n = cand_ref[0, s, 0]
 
-        # Empty candidate lists (parked/miss-everything subtiles — 30-50% of
-        # a compat wavefront) skip straight to constant writes: the final
-        # best-reductions over the initial 1e30 panels are not free.
-        @pl.when(n == 0)
-        def _():
-            bt_ref[pl.ds(s * tile, tile), :] = jnp.full(
-                (tile, 1), 1e30, jnp.float32)
-            bi_ref[pl.ds(s * tile, tile), :] = jnp.full(
-                (tile, 1), -1, jnp.int32)
-
-        @pl.when(n > 0)
-        def _():
+        if _BRANCHLESS:
+            # n == 0 (parked / miss-everything subtiles) falls through the
+            # general path with a 0-trip candidate fori: the final reductions
+            # over the untouched 1e30 init panels produce (1e30, -1) — the
+            # branch pair this replaces cost more scalar-unit time than the
+            # constant vector reductions it saved (probe_kernel round 4).
             _subtile_tests(s, n)
+        else:
+            @pl.when(n == 0)
+            def _():
+                bt_ref[pl.ds(s * tile, tile), :] = jnp.full(
+                    (tile, 1), 1e30, jnp.float32)
+                bi_ref[pl.ds(s * tile, tile), :] = jnp.full(
+                    (tile, 1), -1, jnp.int32)
+
+            @pl.when(n > 0)
+            def _():
+                _subtile_tests(s, n)
 
         return 0
 
