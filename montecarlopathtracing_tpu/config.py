@@ -117,6 +117,14 @@ class RenderOptions:
     # fresh width-aligned cluster — tighter cluster AABBs, fewer candidates
     # in the cluster intersector.  0 disables (pure Morton runs).
     cluster_gap_bits: int = 19
+    # Triangle ordering that defines the cluster decomposition
+    # (scene/loader.py): "morton_gap" = Morton sort + gap padding (above);
+    # "median" = recursive best-axis median split to width-sized leaves
+    # (tighter cluster AABBs than fixed-width Morton runs; width-aligned
+    # splits so only each group's tail leaf is partial).  Estimator-neutral:
+    # triangle order only affects equal-t tie-breaking, like the big-triangle
+    # segregation (docs/COMPAT.md).
+    cluster_order: str = "median"
     # VMEM-table chunk cap for the cluster intersector: scenes needing more
     # than this many chunked tables fall back to the XLA packet walk
     # (integrator/wavefront.py::_cluster_plan).  Each chunk adds the

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -52,6 +53,9 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = jnp.float32(1e30)
 
 _BRANCHLESS = False
+# Kernel A/B probe switch (tools/probe_kernel.py): read once at trace time,
+# so set it before the first jit of a fresh process.  "" = production.
+_KVAR = os.environ.get("MCPT_KVAR", "")
 
 # Row layout of the per-triangle constant table (16 rows per cluster block),
 # compat (plane + edge-sign) variant.
@@ -354,7 +358,13 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
             running per-ray best) only participates in the non-deferred
             formulation's mask."""
             cids = [cand_ref[0, s, 8 + k * group + g] for g in range(group)]
-            tc = jnp.concatenate([tconst_ref[c] for c in cids], axis=1)
+            if _KVAR == "dup":
+                # Diagnostic: same FLOPs/assembly shape but all slices read
+                # the FIRST candidate's block — isolates dynamic-slice
+                # variety cost (produces wrong results; probe only).
+                tc = jnp.concatenate([tconst_ref[cids[0]]] * group, axis=1)
+            else:
+                tc = jnp.concatenate([tconst_ref[c] for c in cids], axis=1)
 
             def dot(r, ax, ay, az):
                 return ax * tc[r:r + 1] + ay * tc[r + 1:r + 2] + az * tc[r + 2:r + 3]
@@ -372,7 +382,14 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
             else:
                 n_o = dot(_R_N, ox, oy, oz)
                 n_d = dot(_R_N, dx, dy, dz)
-                t = (tc[_R_KN:_R_KN + 1] - n_o) / n_d  # (tile, group*W)
+                if _KVAR == "recip":
+                    t = (tc[_R_KN:_R_KN + 1] - n_o) * pl.reciprocal(
+                        n_d, approx=True)
+                elif _KVAR == "nodiv":
+                    # Diagnostic: no division at all (wrong results).
+                    t = tc[_R_KN:_R_KN + 1] - n_o + n_d
+                else:
+                    t = (tc[_R_KN:_R_KN + 1] - n_o) / n_d  # (tile, group*W)
                 c1 = dot(_R_M1, ox, oy, oz) + t * dot(_R_M1, dx, dy, dz) - tc[_R_K1:_R_K1 + 1]
                 c2 = dot(_R_M2, ox, oy, oz) + t * dot(_R_M2, dx, dy, dz) - tc[_R_K2:_R_K2 + 1]
                 c3 = dot(_R_M3, ox, oy, oz) + t * dot(_R_M3, dx, dy, dz) - tc[_R_K3:_R_K3 + 1]

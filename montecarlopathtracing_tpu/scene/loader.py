@@ -58,6 +58,61 @@ def morton_codes_np(points: np.ndarray, compat_bounds: bool = True) -> np.ndarra
     )
 
 
+def _median_cluster_order(tmin: np.ndarray, tmax: np.ndarray, width: int
+                          ) -> np.ndarray:
+    """Triangle permutation from a recursive best-axis median split.
+
+    The cluster intersector slices the triangle order into fixed ``width``
+    runs (kernels/cluster.py); the run AABBs are what cull candidates, so the
+    ORDER is the acceleration structure.  Fixed-width Morton runs inherit
+    whatever a Morton range straddles; this build instead splits the set
+    top-down — at each node trying all three axes (sorted by AABB-center) and
+    keeping the one minimizing the children's summed half-surface-areas — and
+    emits leaves in DFS order.  Split indices are WIDTH-ALIGNED on the left
+    child, so every leaf is exactly ``width`` triangles except the global
+    tail: the order needs no interior padding slots.
+
+    Pure host NumPy, O(N log^2 N); runs once at scene load (the reference
+    builds its LBVH once on load too, MTPC/MTPC.cpp:44-47).
+    """
+    n = tmin.shape[0]
+    center = (tmin + tmax) * 0.5
+    out = np.empty(n, np.int64)
+    out_pos = 0
+    # Explicit stack of index arrays (DFS, left first).
+    stack: list = [np.arange(n, dtype=np.int64)]
+    while stack:
+        idx = stack.pop()
+        m = idx.shape[0]
+        if m <= width:
+            out[out_pos:out_pos + m] = idx
+            out_pos += m
+            continue
+        # Left size: multiple of width, both children nonempty.
+        left = int(np.clip(round(m / 2 / width) * width, width,
+                           ((m - 1) // width) * width))
+        best = None
+        for ax in range(3):
+            order = np.argsort(center[idx, ax], kind="stable")
+            s = idx[order]
+            lmin = np.min(tmin[s[:left]], axis=0)
+            lmax = np.max(tmax[s[:left]], axis=0)
+            rmin = np.min(tmin[s[left:]], axis=0)
+            rmax = np.max(tmax[s[left:]], axis=0)
+
+            def sa(lo, hi):
+                e = hi - lo
+                return e[0] * e[1] + e[1] * e[2] + e[0] * e[2]
+
+            cost = sa(lmin, lmax) + sa(rmin, rmax)
+            if best is None or cost < best[0]:
+                best = (cost, s)
+        s = best[1]
+        stack.append(s[left:])   # popped after the left child (DFS order)
+        stack.append(s[:left])
+    return out
+
+
 class MaterialRecord:
     __slots__ = ("name", "kd", "ks", "ns", "ni", "map_kd")
 
@@ -267,7 +322,22 @@ def build_scene(
     scene_sa = (scene_ext[0] * scene_ext[1] + scene_ext[1] * scene_ext[2]
                 + scene_ext[0] * scene_ext[2])
     big = tri_sa > 0.005 * max(scene_sa, 1e-30)
-    order = np.lexsort((np.arange(num_faces), codes, (~big).astype(np.int8)))
+    w = max(1, options.cluster_width)
+    use_median = (getattr(options, "cluster_order", "morton_gap") == "median"
+                  and num_faces > w)
+    if use_median:
+        # Best-axis median-split order (see _median_cluster_order), big
+        # triangles still segregated to the front as their own subtree.
+        tmin_all = np.minimum(np.minimum(p0, p1), p2)
+        tmax_all = np.maximum(np.maximum(p0, p1), p2)
+        parts = []
+        for grp in (np.nonzero(big)[0], np.nonzero(~big)[0]):
+            if len(grp):
+                parts.append(grp[_median_cluster_order(
+                    tmin_all[grp], tmax_all[grp], w)])
+        order = np.concatenate(parts)
+    else:
+        order = np.lexsort((np.arange(num_faces), codes, (~big).astype(np.int8)))
 
     p0, p1, p2 = p0[order], p1[order], p2[order]
     nn0, nn1, nn2 = nn0[order], nn1[order], nn2[order]
@@ -283,12 +353,16 @@ def build_scene(
     # starts a fresh width-aligned run.  Estimator-neutral except for
     # equal-t tie-breaking between coincident triangles (same class of
     # divergence as the big-triangle segregation above, see docs/COMPAT.md).
-    w = max(1, options.cluster_width)
     gap_bits = getattr(options, "cluster_gap_bits", 0)
-    if gap_bits and num_faces > w:
-        x = codes[order][1:] ^ codes[order][:-1]
-        cut = x >= (1 << gap_bits)
-        cut |= big[order][1:] != big[order][:-1]
+    if use_median or (gap_bits and num_faces > w):
+        if use_median:
+            # Median-split leaves are width-aligned by construction; the only
+            # boundary needing padding is the big/rest group frontier.
+            cut = big[order][1:] != big[order][:-1]
+        else:
+            x = codes[order][1:] ^ codes[order][:-1]
+            cut = x >= (1 << gap_bits)
+            cut |= big[order][1:] != big[order][:-1]
         starts = np.concatenate([[0], np.nonzero(cut)[0] + 1, [num_faces]])
         new_pos = np.empty(num_faces, np.int64)
         fill_pos = 0
