@@ -171,19 +171,30 @@ def _key_kernel(flags_ref, rays_ref, caabb_ref, key_ref, *, tile: int,
     One grid step covers ``mega`` subtiles of ``tile`` rays (amortizing the
     per-step pipeline overhead, which dominates at small step sizes).
 
-    flags: SMEM (1, mega) i32, 1 = every ray in the subtile is parked
-    (computed in XLA from the ray origins); rays: (mega*tile, 8) VMEM block;
-    caabb: (8, C) VMEM rows [minx miny minz maxx maxy maxz 0 0]; key out:
-    (1, mega, C) — min over each subtile's rays of the clamped slab entry
-    distance, 1e30 where no ray hits the cluster.
+    flags: SMEM (1, mega+1) i32 — slot 0: 1 = EVERY subtile of this step is
+    parked (whole-step skip: the wavefront sort leaves parked lanes
+    contiguous at the tail, so most parked subtiles live in wholly-parked
+    steps and one branch replaces ``mega`` scalar-loop iterations); slots
+    1..mega: 1 = every ray in that subtile is parked (computed in XLA from
+    the ray origins).  rays: (mega*tile, 8) VMEM block; caabb: (8, C) VMEM
+    rows [minx miny minz maxx maxy maxz 0 0]; key out: (1, mega, C) — min
+    over each subtile's rays of the clamped slab entry distance, 1e30 where
+    no ray hits the cluster.
     """
+    step_parked = flags_ref[0, 0, 0] == 1
+
+    @pl.when(step_parked)
+    def _():
+        key_ref[0, :, :] = jnp.full(
+            (mega, key_ref.shape[2]), 1e30, jnp.float32)
+
     def subtile(s, _):
         # All-parked subtiles (inactive lanes, primary-reuse lanes, unlit
         # shadow rays — origin 1e9) skip the slab math: 30-50% of subtiles
         # at spp >= 4 compat renders.  The flag must be ALL-parked (not
         # first-ray-parked): parked shadow rays are scattered through the
         # shadow half, not contiguous.
-        parked = flags_ref[0, 0, s] == 1
+        parked = flags_ref[0, 0, s + 1] == 1
 
         @pl.when(parked)
         def _():
@@ -224,7 +235,9 @@ def _key_kernel(flags_ref, rays_ref, caabb_ref, key_ref, *, tile: int,
 
         return 0
 
-    jax.lax.fori_loop(0, mega, subtile, 0)
+    @pl.when(jnp.logical_not(step_parked))
+    def _():
+        jax.lax.fori_loop(0, mega, subtile, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "mega", "interpret"))
@@ -235,14 +248,17 @@ def _candidate_keys(rays, caabb, tile: int, mega: int, interpret: bool):
     # Threshold 5e8 vs the exact 1e9 park sentinel: halfway leaves slack for
     # any epsilon arithmetic on parked origins.  Scenes are guaranteed within
     # |x| <= 1e8 by the extent check in scene/loader.py, so a real ray origin
-    # can never cross it.
-    flags = (jnp.min(rays[:, 0].reshape(n_steps, mega, tile), axis=2)
-             > 5e8).astype(jnp.int32).reshape(n_steps, 1, mega)
+    # can never cross it.  Slot 0 of each row: the whole-step flag.
+    sub_parked = (jnp.min(rays[:, 0].reshape(n_steps, mega, tile), axis=2)
+                  > 5e8).astype(jnp.int32)
+    step_parked = jnp.min(sub_parked, axis=1, keepdims=True)
+    flags = jnp.concatenate([step_parked, sub_parked], axis=1
+                            ).reshape(n_steps, 1, mega + 1)
     key = pl.pallas_call(
         functools.partial(_key_kernel, tile=tile, mega=mega),
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, 1, mega), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, mega + 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile * mega, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -284,8 +300,11 @@ def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
     counts = jnp.sum(hit, axis=1, dtype=jnp.int32)[:, None]
     cand = jnp.concatenate(
         [counts, jnp.zeros((key.shape[0], 7), jnp.int32), order], axis=1
-    )
-    return cand.reshape(-1, mega, c + 8)
+    ).reshape(-1, mega, c + 8)
+    # Whole-step-empty flag in pad slot 1 of each step's row 0 (see
+    # _intersect_kernel): one branch skips the whole mega loop.
+    step_empty = (jnp.max(cand[:, :, 0], axis=1) == 0).astype(jnp.int32)
+    return cand.at[:, 0, 1].set(step_empty)
 
 
 def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
@@ -293,10 +312,19 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
                       mt: bool = False, defer: bool = True):
     """One grid step = ``mega`` ray subtiles of ``tile`` rays.
 
-    cand: SMEM (1, mega, C+8) i32 rows [count, 7 pad, cluster ids (C)];
+    cand: SMEM (1, mega, C+8) i32 rows [count, 7 pad, cluster ids (C)] —
+    pad slot 1 of row 0 holds the whole-step-empty flag (1 = every subtile's
+    count is 0: fill both outputs with one branch instead of ``mega``
+    scalar-loop iterations; the wavefront sort concentrates parked lanes so
+    most empty subtiles live in wholly-empty steps);
     rays: VMEM (mega*tile, 8) packed [ox oy oz dx dy dz 0 0] (16 wide with
     w = o x d in cols 6..8 when ``mt``); tconst: VMEM
     (C, 16, width), resident across all grid steps.
+
+    Outputs are LANE-MAJOR (mega, tile) blocks — subtile s writes row s as a
+    (1, tile) vector — because a (tile, 1) column store touches tile/8 vregs
+    at 1/128 lane utilization (minor-dim-1 layout) and the all-parked fill
+    was ~25%% of the kernel's occupancy-independent floor.
 
     Each loop iteration tests ``group`` candidate clusters at once: their
     constant blocks are concatenated into one (16, group*width) panel so the
@@ -321,6 +349,13 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
     reductions (min t, then min tri among t-ties) pick the same global
     winner an in-order scan would.
     """
+    step_empty = cand_ref[0, 0, 1] == 1
+
+    @pl.when(step_empty)
+    def _():
+        bt_ref[:, :] = jnp.full((mega, tile), 1e30, jnp.float32)
+        bi_ref[:, :] = jnp.full((mega, tile), -1, jnp.int32)
+
     def subtile(s, _):
         n = cand_ref[0, s, 0]
 
@@ -331,13 +366,20 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
             # branch pair this replaces cost more scalar-unit time than the
             # constant vector reductions it saved (probe_kernel round 4).
             _subtile_tests(s, n)
+        elif _KVAR == "nostore":
+            # Diagnostic: parked subtiles write NOTHING (garbage outputs for
+            # them) — isolates the fill-store cost from the scalar
+            # loop/branch overhead in the all-parked floor.
+            @pl.when(n > 0)
+            def _():
+                _subtile_tests(s, n)
         else:
             @pl.when(n == 0)
             def _():
-                bt_ref[pl.ds(s * tile, tile), :] = jnp.full(
-                    (tile, 1), 1e30, jnp.float32)
-                bi_ref[pl.ds(s * tile, tile), :] = jnp.full(
-                    (tile, 1), -1, jnp.int32)
+                bt_ref[pl.ds(s, 1), :] = jnp.full(
+                    (1, tile), 1e30, jnp.float32)
+                bi_ref[pl.ds(s, 1), :] = jnp.full(
+                    (1, tile), -1, jnp.int32)
 
             @pl.when(n > 0)
             def _():
@@ -448,10 +490,12 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
             bi0 = jnp.full((tile, 1), imax, jnp.int32)
             bt, bi = jax.lax.fori_loop(0, n_groups, body, (bt0, bi0))
 
-        bt_ref[pl.ds(s * tile, tile), :] = bt
-        bi_ref[pl.ds(s * tile, tile), :] = jnp.where(bt < 1e30, bi, -1)
+        bt_ref[pl.ds(s, 1), :] = bt.reshape(1, tile)
+        bi_ref[pl.ds(s, 1), :] = jnp.where(bt < 1e30, bi, -1).reshape(1, tile)
 
-    jax.lax.fori_loop(0, mega, subtile, 0)
+    @pl.when(jnp.logical_not(step_empty))
+    def _():
+        jax.lax.fori_loop(0, mega, subtile, 0)
 
 
 @functools.partial(
@@ -482,21 +526,21 @@ def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile * mega, 1), lambda i: (i, 0),
+            pl.BlockSpec((mega, tile), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile * mega, 1), lambda i: (i, 0),
+            pl.BlockSpec((mega, tile), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rays.shape[0], 1), jnp.float32),
-            jax.ShapeDtypeStruct((rays.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_steps * mega, tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps * mega, tile), jnp.int32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(cand, rays, accel.tconst)
-    return bt[:, 0], bi[:, 0]
+    return bt.reshape(-1), bi.reshape(-1)
 
 
 def cluster_intersect(accel: ClusterAccel, origin, direction,
