@@ -1147,11 +1147,7 @@ def render_pixels_refill(
     )
 
     if differentiable:
-        # Static iteration budget for reverse-mode; completed pixel sums
-        # leave the loop as stacked scan outputs (flattened so the stacked
-        # minor dim is lane-sized, not 3) and are scattered into the film
-        # once afterwards (duplicate dummy indices across iterations, so no
-        # unique_indices claim — one combining scatter per frame).
+        # Static iteration budget for reverse-mode.
         # Expected lane-iterations per sample: the RR bound 1/(1-p) * 1.2
         # covers any scene; a measured opts.bwd_seg_per_sample (cornell-box:
         # 2.30) trims ~25% off the scan length.  An insufficient budget is
@@ -1162,27 +1158,60 @@ def render_pixels_refill(
         n_iter = (int(np.ceil(n_pix * spp * e_seg / r))
                   + opts.max_depth + spp + 4)
 
-        remat_step = jax.checkpoint(
-            step,
+        # Nested scan: an outer scan over checkpointed K-step blocks, K =
+        # n_pend * spp (the pend-register safe cadence: a lane retires at
+        # most one pixel per spp iterations, so pend slots cannot overwrite
+        # within a block).  Completed pixel sums stage into the carried pend
+        # registers and leave the loop ONCE per block as (r, n_pend)
+        # channel-split outputs — 1/spp of the per-step flush-output traffic
+        # the flat scan stacked (16 B/lane/iteration), and the outer scan
+        # saves block-boundary carries only.  Backward recompute volume is
+        # unchanged (each step rematerialized once, from its block's entry
+        # carry), and the saved intersect residuals still skip the kernels.
+        k_steps = max(1, n_pend * spp)
+        n_outer = -(-n_iter // k_steps)
+
+        def block(state, _):
+            def inner(st, _):
+                st, _, _ = step(st)  # retires ride the pend registers
+                return st, None
+            state = jax.lax.scan(inner, state, None, length=k_steps)[0]
+            (q, n_rays_c, active, slot, pix, samp, samp_left, keys, depth,
+             kind, was_fresh, hit_a, t_a, tri_a, prim_ok, prim_hit, prim_t,
+             prim_tri, pend_slot, pend_count, *fvec) = state
+            origin, direction, beta, rad, pend_r, pend_g, pend_b = unpack_f(
+                tuple(fvec))
+            out = (pend_slot, pend_r, pend_g, pend_b)
+            zero_p = jnp.zeros((r, n_pend), jnp.float32)
+            state = (q, n_rays_c, active, slot, pix, samp, samp_left, keys,
+                     depth, kind, was_fresh, hit_a, t_a, tri_a, prim_ok,
+                     prim_hit, prim_t, prim_tri, dummy_pend,
+                     jnp.zeros((r,), jnp.int32)) + pack_f(
+                origin, direction, beta, rad, zero_p, zero_p, zero_p)
+            return state, out
+
+        remat_block = jax.checkpoint(
+            block,
             policy=jax.checkpoint_policies.save_only_these_names(
                 "isect_hit", "isect_t", "isect_tri"),
         )
-
-        def scan_body(state, _):
-            state, flush_rad, flush_slot = remat_step(state)
-            return state, (flush_rad.T.reshape(-1), flush_slot)
-
-        state, (rad_out, slot_out) = jax.lax.scan(
-            scan_body, state0, None, length=n_iter
+        state, (slot_out, r_out, g_out, b_out) = jax.lax.scan(
+            remat_block, state0, None, length=n_outer
         )
-        # One row-of-3 scatter: at this scale (n_iter * r ~ 41M rows) it
-        # measured FASTER than three channel-major 1-D adds (5.25 vs 4.46 s
-        # per gradient chunk) — the opposite of the small per-fire flushes
-        # in the forward path below.
-        rad_out = rad_out.reshape(n_iter, 3, r).transpose(0, 2, 1)
-        film = jnp.zeros((n_pix, 3), jnp.float32).at[
-            slot_out.reshape(-1)
-        ].add(rad_out.reshape(-1, 3), mode="drop")
+        # Channel-split 1-D scatter-adds (the pend registers are already
+        # channel-split, so no (N, 3) assembly/transpose is needed).  Real
+        # slots are unique across the frame (each pixel retires once), but
+        # dummy slots repeat across blocks — mode='drop' without a
+        # unique_indices claim.
+        idx = slot_out.reshape(-1)
+        film = jnp.stack([
+            jnp.zeros((n_pix,), jnp.float32).at[idx].add(
+                r_out.reshape(-1), mode="drop"),
+            jnp.zeros((n_pix,), jnp.float32).at[idx].add(
+                g_out.reshape(-1), mode="drop"),
+            jnp.zeros((n_pix,), jnp.float32).at[idx].add(
+                b_out.reshape(-1), mode="drop"),
+        ], axis=1)
         # Budget check: samples still in flight past the static scan length
         # were dropped from the film.  Signalled as a negated ray count so
         # the (differentiable, aux) calling convention needn't change.

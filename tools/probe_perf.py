@@ -39,7 +39,9 @@ if mode == "sppsweep" or (mode.startswith("spp") and mode[3:].isdigit()):
     scene, meta = m.load_scene("/root/reference/scene", "cornell-box")
     bvh = build_lbvh_host(scene)
     for spp in spps:
-        opts = RenderOptions(spp=spp, max_depth=32, chunk_size=65536,
+        opts = RenderOptions(spp=spp, max_depth=32,
+                             chunk_size=int(os.environ.get("MCPT_CHUNK",
+                                                           "65536")),
                              spp_chunk=spp)  # single dispatch per frame
         rps, dt = timed_frame(scene, bvh, opts)
         print(f"spp{spp}: {rps:.4g} rays/s ({dt:.2f} s)", flush=True)
