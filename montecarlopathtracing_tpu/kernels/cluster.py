@@ -275,16 +275,29 @@ def _candidate_keys(rays, caabb, tile: int, mega: int, interpret: bool):
     return key.reshape(-1, c)
 
 
-def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
-    """Candidate cluster lists per ray subtile, ascending cluster id.
+def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool,
+                ftb: bool = False, group: int = 1):
+    """Candidate cluster lists per ray subtile.
 
-    Returns cand (nSteps, mega, C+8) i32: per subtile row = [count, 7 pad,
-    hit cluster ids (C) ascending, then the non-hit ids].  Ascending order
-    makes the test kernel's within-group argmin resolve equal-t ties to the
-    lowest triangle index, exactly matching a full in-order scan.  (A best-t
-    early exit over entry-sorted candidates was measured NET-NEGATIVE on
-    v5e: the per-candidate `max(best_t)` reduce is a vector->scalar sync that
-    costs more than the skipped clusters save in a closed scene.)
+    Default (``ftb=False``): ids ASCENDING — the non-deferred test kernel's
+    within-group argmin then resolves equal-t ties to the lowest triangle
+    index, exactly matching a full in-order scan.  (A best-t early exit over
+    entry-sorted candidates was measured NET-NEGATIVE on cornell-class
+    scenes: the per-candidate `max(best_t)` reduce is a vector->scalar sync
+    that costs more than the ~5 candidate clusters it could skip.)
+
+    ``ftb=True``: ids sorted FRONT-TO-BACK by the subtile's min slab-entry
+    distance, plus a second (nSteps, mega, C/group) f32 array of each
+    group-boundary candidate's entry key — the test kernel's early-exit
+    while_loop stops once the next panel's entry exceeds every ray's current
+    best t.  On large chunked scenes a bounce subtile's candidate union is
+    ~100 clusters (the ray crosses the whole interior) and the hit is almost
+    always in the first panel or two; tie-breaking stays exact because the
+    stop rule is strict (entry > max best t) and the deferred-best update is
+    order-independent.  Requires the deferred kernel.
+
+    Returns (cand (nSteps, mega, C+8) i32 [count, 7 pad, ids...], gkeys or
+    None).
     """
     c = cmin.shape[0]
     caabb = jnp.concatenate(
@@ -292,11 +305,17 @@ def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
     )  # (8, C)
     key = _candidate_keys(rays, caabb, tile, mega, interpret)  # (nT, C)
     hit = key < BIG
-    iota = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), key.shape)
-    order = jnp.sort(jnp.where(hit, iota, iota + c), axis=1)
-    # values < 2c, so "mod c" is one compare+subtract (per-lane integer
-    # division is a slow multi-op VPU sequence — profiled at 0.6 ms/iter).
-    order = jnp.where(order >= c, order - c, order)
+    gkeys = None
+    if ftb:
+        iota = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), key.shape)
+        skeys, order = jax.lax.sort((key, iota), dimension=1, num_keys=1)
+        gkeys = skeys[:, ::group].reshape(-1, mega, c // group)
+    else:
+        iota = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), key.shape)
+        order = jnp.sort(jnp.where(hit, iota, iota + c), axis=1)
+        # values < 2c, so "mod c" is one compare+subtract (per-lane integer
+        # division is a slow multi-op VPU sequence — profiled at 0.6 ms/iter).
+        order = jnp.where(order >= c, order - c, order)
     counts = jnp.sum(hit, axis=1, dtype=jnp.int32)[:, None]
     cand = jnp.concatenate(
         [counts, jnp.zeros((key.shape[0], 7), jnp.int32), order], axis=1
@@ -304,12 +323,12 @@ def _candidates(rays, cmin, cmax, tile: int, mega: int, interpret: bool):
     # Whole-step-empty flag in pad slot 1 of each step's row 0 (see
     # _intersect_kernel): one branch skips the whole mega loop.
     step_empty = (jnp.max(cand[:, :, 0], axis=1) == 0).astype(jnp.int32)
-    return cand.at[:, 0, 1].set(step_empty)
+    return cand.at[:, 0, 1].set(step_empty), gkeys
 
 
-def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
-                      *, width: int, tile: int, mega: int, group: int,
-                      mt: bool = False, defer: bool = True):
+def _intersect_kernel(cand_ref, *refs, width: int, tile: int, mega: int,
+                      group: int, mt: bool = False, defer: bool = True,
+                      ftb: bool = False):
     """One grid step = ``mega`` ray subtiles of ``tile`` rays.
 
     cand: SMEM (1, mega, C+8) i32 rows [count, 7 pad, cluster ids (C)] —
@@ -325,6 +344,12 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
     (1, tile) vector — because a (tile, 1) column store touches tile/8 vregs
     at 1/128 lane utilization (minor-dim-1 layout) and the all-parked fill
     was ~25%% of the kernel's occupancy-independent floor.
+
+    ``ftb=True`` (requires ``defer``): candidates arrive front-to-back and a
+    second SMEM input gkeys (1, mega, C/group) carries each panel's first
+    entry key; the candidate loop becomes a while_loop that stops once the
+    next panel's entry strictly exceeds every ray's current best t (exact:
+    a hit at t >= entry > best can neither win nor tie).
 
     Each loop iteration tests ``group`` candidate clusters at once: their
     constant blocks are concatenated into one (16, group*width) panel so the
@@ -349,6 +374,11 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
     reductions (min t, then min tri among t-ties) pick the same global
     winner an in-order scan would.
     """
+    if ftb:
+        gkeys_ref, rays_ref, tconst_ref, bt_ref, bi_ref = refs
+    else:
+        rays_ref, tconst_ref, bt_ref, bi_ref = refs
+
     step_empty = cand_ref[0, 0, 1] == 1
 
     @pl.when(step_empty)
@@ -466,7 +496,51 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
 
             bt0 = jnp.full((tile, group * width), 1e30, jnp.float32)
             bi0 = jnp.full((tile, group * width), imax, jnp.int32)
-            bt128, bi128 = jax.lax.fori_loop(0, n_groups, body, (bt0, bi0))
+            if ftb:
+                # Early-exit while over front-to-back panels: stop once the
+                # next panel's first (smallest) entry key strictly exceeds
+                # every ray's current best t.  The vector->scalar bmax
+                # reduce stalls the VPU pipeline, so the check runs every
+                # FTB_STRIDE panels (a per-panel check measured slower than
+                # no exit at all); trailing past-the-count panels inside a
+                # stride test miss-clusters — redundant but correct, like
+                # the fori path's final partial group.
+                stride = 4
+
+                def cond_fn(st):
+                    k, _, _, bmax = st
+                    # Clamped SMEM read: k may be one past the last panel
+                    # when every cluster is a candidate; the k < n_groups
+                    # term kills the conjunction there, but the read must
+                    # stay in bounds.
+                    kk = jnp.minimum(k, jnp.int32(gkeys_ref.shape[2] - 1))
+                    return (k < n_groups) & (gkeys_ref[0, s, kk] <= bmax)
+
+                # Per-ray exit bound: a ray is satisfied once the next
+                # panel's entry exceeds min(its best t, its exit distance
+                # from the enclosing chunk/scene AABB, rays col 6/9) —
+                # without the cap, one miss-everything ray (parked for this
+                # chunk by the routing, or escaping the scene) pins bmax at
+                # 1e30 and the exit never fires.  Sound because a cluster
+                # inside the chunk AABB cannot be entered after the ray has
+                # exited the chunk: entry_i(cluster) <= exit_i(chunk).
+                exit_col = sub[:, 9] if mt else sub[:, 6]  # (tile,)
+
+                def body_fn(st):
+                    k, bt128, bi128, _ = st
+                    for j in range(stride):
+                        bt128, bi128 = body(
+                            jnp.minimum(k + j, n_groups - 1), (bt128, bi128))
+                    bmax = jnp.max(jnp.minimum(jnp.min(bt128, axis=1),
+                                               exit_col))
+                    return k + stride, bt128, bi128, bmax
+
+                _, bt128, bi128, _ = jax.lax.while_loop(
+                    cond_fn, body_fn,
+                    (jnp.int32(0), bt0, bi0, jnp.float32(1e30)))
+            else:
+                bt128, bi128 = jax.lax.fori_loop(0, n_groups, body,
+                                                 (bt0, bi0))
             bt = jnp.min(bt128, axis=1, keepdims=True)  # (tile, 1)
             bi = jnp.min(jnp.where(bt128 == bt, bi128, imax),
                          axis=1, keepdims=True)
@@ -502,7 +576,7 @@ def _intersect_kernel(cand_ref, rays_ref, tconst_ref, bt_ref, bi_ref,
     jax.jit, static_argnames=("tile", "mega", "group", "interpret", "mt",
                               "defer")
 )
-def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
+def _cluster_intersect_padded(accel: ClusterAccel, rays, cand, gkeys,
                               tile: int, mega: int, group: int, interpret: bool,
                               mt: bool = False, defer: bool = True):
     n_steps = rays.shape[0] // (tile * mega)
@@ -511,15 +585,21 @@ def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
     # The deferred-best variant indexes panel columns with shifts/masks,
     # which requires a power-of-two cluster width.
     defer = defer and (accel.width & (accel.width - 1) == 0)
+    group = min(group, c)
+    ftb = gkeys is not None
+    assert not (ftb and not defer), "front-to-back early exit requires defer"
     kernel = functools.partial(_intersect_kernel, width=accel.width,
-                               tile=tile, mega=mega, group=min(group, c),
-                               mt=mt, defer=defer)
+                               tile=tile, mega=mega, group=group,
+                               mt=mt, defer=defer, ftb=ftb)
+    gkey_specs = [pl.BlockSpec((1, mega, c // group), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM)] if ftb else []
     bt, bi = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, mega, c + 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+        ] + gkey_specs + [
             pl.BlockSpec((tile * mega, ray_w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(accel.tconst.shape, lambda i: (0, 0, 0),
@@ -539,14 +619,14 @@ def _cluster_intersect_padded(accel: ClusterAccel, rays, cand,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(cand, rays, accel.tconst)
+    )(*([cand] + ([gkeys] if ftb else []) + [rays, accel.tconst]))
     return bt.reshape(-1), bi.reshape(-1)
 
 
 def cluster_intersect(accel: ClusterAccel, origin, direction,
                       tile: int = 256, mega: int = 16, group: int = 4,
                       interpret: bool | None = None, mt: bool = False,
-                      defer: bool = True):
+                      defer: bool = True, ftb: bool = False, t_cap=None):
     """Nearest-hit query: (hit (R,) bool, t (R,) f32, tri (R,) i32).
 
     Same result contract as accel.lbvh.bvh_intersect / brute_force_intersect
@@ -554,6 +634,9 @@ def cluster_intersect(accel: ClusterAccel, origin, direction,
     triangles may resolve to a different triangle id at identical t.
     ``mt`` selects the Moller-Trumbore test (the accel must have been built
     with the matching ``build_cluster_accel(..., mt=...)`` table).
+    ``ftb`` sorts candidates front-to-back and early-exits the test loop —
+    identical results, a win only at large candidate densities (the chunked
+    large-scene path enables it).
     """
     origin = jax.lax.stop_gradient(origin)
     direction = jax.lax.stop_gradient(direction)
@@ -577,19 +660,31 @@ def cluster_intersect(accel: ClusterAccel, origin, direction,
         direction = jnp.concatenate(
             [direction, jnp.tile(jnp.array([[1.0, 0.0, 0.0]], direction.dtype), (pad, 1))]
         )
-    zeros = jnp.zeros((origin.shape[0], 2), origin.dtype)
-    rays = jnp.concatenate([origin, direction, zeros], axis=1)  # (R, 8)
-    cand = _candidates(rays, accel.cmin, accel.cmax, tile, mega, interpret)
+        if t_cap is not None:
+            t_cap = jnp.concatenate(
+                [t_cap, jnp.full((pad,), -1.0, jnp.float32)])
+    ftb = ftb and (accel.width & (accel.width - 1) == 0)  # needs defer
+    # Col 6 (9 under mt) carries the per-ray exit cap for the ftb early
+    # exit; 1e30 = uncapped.
+    if t_cap is None:
+        cap = jnp.full((origin.shape[0], 1), 1e30, origin.dtype)
+    else:
+        cap = t_cap[:, None]
+    zeros = jnp.zeros((origin.shape[0], 1), origin.dtype)
+    rays = jnp.concatenate([origin, direction, cap, zeros], axis=1)  # (R, 8)
+    cand, gkeys = _candidates(rays, accel.cmin, accel.cmax, tile, mega,
+                              interpret, ftb=ftb, group=group)
     if mt:
         # MT needs w = o x d per ray (see the _M_* layout note); widen to 16
-        # columns [o d w 0*7] so the lane dim stays padding-free.
+        # columns [o d w cap 0*6] so the lane dim stays padding-free.
         w = jnp.cross(origin, direction)
         rays = jnp.concatenate(
-            [origin, direction, w, jnp.zeros((origin.shape[0], 7), origin.dtype)],
+            [origin, direction, w, cap,
+             jnp.zeros((origin.shape[0], 6), origin.dtype)],
             axis=1,
         )
-    bt, bi = _cluster_intersect_padded(accel, rays, cand, tile, mega, group,
-                                       interpret, mt, defer)
+    bt, bi = _cluster_intersect_padded(accel, rays, cand, gkeys, tile, mega,
+                                       group, interpret, mt, defer)
     bt, bi = bt[:r], bi[:r]
     hit = bi >= 0
     return hit, jnp.where(hit, bt, BIG), bi
@@ -628,7 +723,7 @@ def candidate_stats(scene, opts, bvh=None):
     def popmean(o, d):
         rays = jnp.concatenate([o, d, jnp.zeros((o.shape[0], 2))], axis=1)
         cand = np.asarray(_candidates(rays, accel.cmin, accel.cmax, tile,
-                                      mega, jax.default_backend() != "tpu"))
+                                      mega, jax.default_backend() != "tpu")[0])
         counts = cand[..., 0]  # per-subtile candidate counts
         return float(counts.mean())
 
@@ -694,12 +789,36 @@ def cluster_intersect_chunked(accels, offsets, origin, direction,
     """Nearest-hit over a chunked accel: per-chunk cluster_intersect, merged
     lexicographically on (t, global triangle id) — identical contract to the
     single-table kernel (chunks ascend in triangle id, so strict-< merging
-    reproduces the in-order tie-break)."""
+    reproduces the in-order tie-break).
+
+    Ray ROUTING: one cheap slab pass against the K chunk AABBs parks each
+    ray (origin -> 1e9) for every chunk it cannot hit, so the per-chunk
+    candidate and test kernels see mostly-parked wavefronts and skip them at
+    subtile/step granularity — instead of paying K full dense candidate
+    phases per ray.  Median-split ordering keeps chunks spatially tight, so
+    a ray touches ~1-2 chunks.  Identical results: a ray missing chunk k's
+    AABB (the union of its cluster AABBs) can hit nothing inside it."""
     bt = bi = None
-    for accel, off in zip(accels, offsets):
+    kmin = jnp.stack([jnp.min(a.cmin, axis=0) for a in accels])  # (K, 3)
+    kmax = jnp.stack([jnp.max(a.cmax, axis=0) for a in accels])
+    inv = 1.0 / direction  # (R, 3); +-inf on zero components
+    lo = (kmin[None] - origin[:, None]) * inv[:, None]  # (R, K, 3)
+    hi = (kmax[None] - origin[:, None]) * inv[:, None]
+    tn = jnp.minimum(lo, hi)
+    tf = jnp.maximum(lo, hi)
+    # 0 * inf NaNs (origin exactly on a zero-direction slab plane) resolve
+    # conservatively open, like the key kernel's slab test.
+    tn = jnp.where(jnp.isnan(tn), -jnp.inf, tn)
+    tf = jnp.where(jnp.isnan(tf), jnp.inf, tf)
+    enter = jnp.max(tn, axis=2)
+    exit_ = jnp.min(tf, axis=2)
+    touch = (enter <= exit_) & (exit_ >= 0)  # (R, K)
+    for k, (accel, off) in enumerate(zip(accels, offsets)):
+        o_k = jnp.where(touch[:, k:k + 1], origin, 1e9)
+        cap_k = jnp.where(touch[:, k], exit_[:, k], -1.0)
         hit_k, t_k, tri_k = cluster_intersect(
-            accel, origin, direction, tile=tile, mega=mega, group=group,
-            interpret=interpret, mt=mt)
+            accel, o_k, direction, tile=tile, mega=mega, group=group,
+            interpret=interpret, mt=mt, ftb=True, t_cap=cap_k)
         tri_g = jnp.where(hit_k, tri_k + off, jnp.int32(jnp.iinfo(jnp.int32).max))
         t_k = jnp.where(hit_k, t_k, BIG)
         if bt is None:

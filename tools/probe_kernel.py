@@ -155,7 +155,7 @@ if "candonly" in which:
     def body(st, i):
         o, d = st
         rays = jnp.concatenate([o, d, jnp.zeros((R, 2))], axis=1)
-        cand = _candidates(rays, accel.cmin, accel.cmax, TILE, MEGA, False)
+        cand = _candidates(rays, accel.cmin, accel.cmax, TILE, MEGA, False)[0]
         o = o + 1e-12 * jnp.sum(cand[..., 0]).astype(jnp.float32)
         return o, d
     timed("realmix-candphase", body, (o_mix, d_mix))
@@ -180,12 +180,12 @@ if "candonly" in which:
 
 if "testonly" in which:
     rays0 = jnp.concatenate([o_mix, d_mix, jnp.zeros((R, 2))], axis=1)
-    cand0 = _candidates(rays0, accel.cmin, accel.cmax, TILE, MEGA, False)
+    cand0 = _candidates(rays0, accel.cmin, accel.cmax, TILE, MEGA, False)[0]
 
     def body(st, i):
         rays, cand = st
-        bt, bi = _cluster_intersect_padded(accel, rays, cand, TILE, MEGA,
-                                           GROUP, False)
+        bt, bi = _cluster_intersect_padded(accel, rays, cand, None, TILE,
+                                           MEGA, GROUP, False)
         live = rays[:, 0] < 5e8
         rays = rays.at[:, 0].add(jnp.where(live, 1e-9 * bt, 0.0))
         return rays, cand
