@@ -250,6 +250,30 @@ def _gather_i32(table, idx):
     return jax.lax.bitcast_convert_type(as_f[idx], jnp.int32)
 
 
+@jax.custom_vjp
+def _permuted_take(mat, perm):
+    """``mat[perm]`` whose VJP is a gather by the INVERSE permutation.
+
+    XLA transposes a gather into a scatter-add (it cannot know the indices
+    are a permutation); at 64k lanes x 47 f32 columns that scatter was the
+    single largest backward op (0.55 ms/iteration, ~12% of the whole
+    fwd+bwd iteration).  ``perm`` is always a full permutation here (it
+    comes from argsort over all lanes), so the cotangent is exactly
+    ``ct[argsort(perm)]`` — another row gather, ~5x cheaper."""
+    return jnp.take(mat, perm, axis=0)
+
+
+def _permuted_take_fwd(mat, perm):
+    return jnp.take(mat, perm, axis=0), jnp.argsort(perm)
+
+
+def _permuted_take_bwd(inv, ct):
+    return jnp.take(ct, inv, axis=0), None
+
+
+_permuted_take.defvjp(_permuted_take_fwd, _permuted_take_bwd)
+
+
 def _permute_rows(perm, f32_fields, int_fields):
     """Permute per-lane state with ONE row gather (separate (R,) int/bool
     takes are the same slow scalar-gather pattern as above).  f32_fields:
@@ -264,8 +288,8 @@ def _permute_rows(perm, f32_fields, int_fields):
         for f in int_fields
     ]
     widths = [f.shape[1] for f in f32_fields]
-    payload = jnp.take(jnp.concatenate(list(f32_fields) + int_cols, axis=1),
-                       perm, axis=0)
+    payload = _permuted_take(
+        jnp.concatenate(list(f32_fields) + int_cols, axis=1), perm)
     out_f, pos = [], 0
     for w in widths:
         out_f.append(payload[:, pos:pos + w])
@@ -833,11 +857,15 @@ def render_pixels_refill(
     keys0 = rng.lane_keys(opts.seed, pix0, jnp.asarray(sample_offset))
     o0, d0 = primary_for(pix0, keys0)
 
-    # In differentiable mode lax.scan stacks every saved carry as
-    # (n_iter, *field): an (r, 3) field pads its minor dim 3 -> 128 on TPU
-    # (42x HBM blowup), so the five f32 vector fields travel packed as one
-    # (15, r) array (sublane pad 15 -> 16 only) and are transposed in/out of
-    # the step. The forward while_loop keeps the unpacked layout.
+    # In differentiable mode every scan level stacks per-step state as
+    # (n_iter, *field) residuals for its backward — the OUTER scan stacks
+    # block-boundary carries, and the inner scan's linearization stacks each
+    # STEP's carry during the remat recompute.  An (r, 3) field pads its
+    # minor dim 3 -> 128 on TPU (42x HBM blowup; moving the packing to block
+    # boundaries only was measured at 6.35 s vs 3.68 s per spp-16 chunk), so
+    # the seven f32 vector fields travel packed as one (12 + 2*n_pend, r)
+    # array (sublane pad only) and are transposed in/out of the step.  The
+    # forward while_loop keeps the unpacked layout.
     if differentiable:
         def pack_f(o, d, b, rd, pr, pg, pb):
             return (jnp.concatenate([o.T, d.T, b.T, rd.T, pr.T, pg.T, pb.T],
@@ -875,7 +903,8 @@ def render_pixels_refill(
         (q, n_rays, active, slot, pix, samp, samp_left, keys, depth, kind,
          was_fresh, hit_a, t_a, tri_a, prim_ok, prim_hit, prim_t, prim_tri,
          pend_slot, pend_count, *fvec) = state
-        origin, direction, beta, rad, pend_r, pend_g, pend_b = unpack_f(tuple(fvec))
+        origin, direction, beta, rad, pend_r, pend_g, pend_b = unpack_f(
+            tuple(fvec))
 
         # n_rays counts estimator-level segments (what the reference would
         # cast); cached primaries are memoized, not skipped, estimator-wise.
@@ -1181,7 +1210,10 @@ def render_pixels_refill(
              prim_tri, pend_slot, pend_count, *fvec) = state
             origin, direction, beta, rad, pend_r, pend_g, pend_b = unpack_f(
                 tuple(fvec))
-            out = (pend_slot, pend_r, pend_g, pend_b)
+            # FLAT (n_pend * r) block outputs: an (r, 1) output would stack
+            # to (n_blocks, r, 1), whose minor dim pads 1 -> 128 on TPU.
+            out = (pend_slot.reshape(-1), pend_r.reshape(-1),
+                   pend_g.reshape(-1), pend_b.reshape(-1))
             zero_p = jnp.zeros((r, n_pend), jnp.float32)
             state = (q, n_rays_c, active, slot, pix, samp, samp_left, keys,
                      depth, kind, was_fresh, hit_a, t_a, tri_a, prim_ok,
