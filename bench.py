@@ -159,6 +159,52 @@ result("stats", candidate_stats(scene, RenderOptions(
     spp=2, max_depth=32, chunk_size=cfg["chunk"]), bvh))
 """
 
+_MODERN_STAGE = r"""
+# MODERN-mode (jittered primaries) certification: every segment actually
+# traverses -- no quirk-#1 primary memoization -- so this is the honest
+# traversal-throughput number (the compat headline overstates it by the
+# memoized-primary fraction; see the accounting note in the module doc).
+from montecarlopathtracing_tpu.config import MODERN
+mopts = RenderOptions(spp=8, max_depth=32, chunk_size=cfg["chunk"],
+                      spp_chunk=8, compat=MODERN)
+render_image_host_chunked(scene, bvh, mopts)  # warm up / compile
+t0 = time.perf_counter()
+img_m, n_rays_m = render_image_host_chunked(scene, bvh, mopts)
+dt_m = time.perf_counter() - t0
+result("modern", {"rays": float(n_rays_m), "seconds": dt_m})
+"""
+
+_KERNELFRAC_STAGE = r"""
+# Profiler-derived kernel occupancy: re-run the already-compiled fwd frame
+# under jax.profiler and sum device-op durations -- test kernel + candidate
+# key kernel vs the whole bounce while-loop.  This replaces trusting the
+# modeled est_vpu_util with trace data (the model stays alongside).
+import glob, gzip
+logdir = "/tmp/mcpt_bench_trace"
+os.system("rm -rf " + logdir)
+jax.profiler.start_trace(logdir)
+render_image_host_chunked(scene, bvh, opts)
+jax.profiler.stop_trace()
+k_ms = keys_ms = loop_ms = 0.0
+for p in glob.glob(logdir + "/**/*.trace.json.gz", recursive=True):
+    with gzip.open(p, "rt") as f:
+        for ev in json.load(f).get("traceEvents", []):
+            if ev.get("ph") != "X" or "dur" not in ev:
+                continue
+            name = ev.get("name", "")
+            if name.startswith("_cluster_intersect_padded"):
+                k_ms += ev["dur"] / 1e3
+            elif name.startswith("_candidate_keys"):
+                keys_ms += ev["dur"] / 1e3
+            elif name.startswith("while."):
+                loop_ms = max(loop_ms, ev["dur"] / 1e3)
+if loop_ms > 0:
+    result("kernelfrac", {
+        "test_kernel_ms": round(k_ms, 1), "key_kernel_ms": round(keys_ms, 1),
+        "loop_ms": round(loop_ms, 1),
+        "kernel_fraction": round((k_ms + keys_ms) / loop_ms, 4)})
+"""
+
 _LARGE_PHASE = r"""
 import json, time, sys
 import jax
@@ -194,7 +240,8 @@ result("large", {"rays": float(n_rays), "seconds": dt,
 # fresh process running ONLY setup+bwd completes fine.  So fwd+stats and bwd
 # always live in separate processes, bwd last (its wedge can't poison later
 # stages).
-_MAIN_PHASE = _COMMON + _FWD_STAGE + _STATS_STAGE
+_MAIN_PHASE = _COMMON + _FWD_STAGE + _STATS_STAGE + _MODERN_STAGE \
+    + _KERNELFRAC_STAGE
 _BWD_PHASE = _COMMON + _BWD_STAGE
 
 
@@ -301,6 +348,12 @@ def main() -> None:
         deadline=min(t_end - 20, now + max(60.0, remaining() * 0.5)),
         gate="setup", gate_deadline=now + min(240.0, max(60.0, remaining() - 120)),
     )
+    # Let the MODERN + kernel-fraction stages finish only while the backward
+    # phase keeps a comfortable budget; they are certification extras, not
+    # the headline, and must never cost the bwd stage its slot.
+    if "fwd" in phase.results:
+        phase.wait_for(["modern", "kernelfrac"],
+                       deadline=t_end - max(200.0, remaining() * 0.45))
     results.update(phase.results)
     if phase.stderr_tail and "fwd" not in results:
         sys.stderr.write(phase.stderr_tail[-2000:])
@@ -369,6 +422,13 @@ def main() -> None:
         result["fwdbwd_seconds"] = round(bwd["seconds"], 3)
     if fwd and bwd:
         result["bwd_over_fwd"] = round(fwd_rps / max(fwdbwd_rps, 1e-9), 2)
+    modern = results.get("modern")
+    if modern:
+        result["modern_rays_per_s"] = round(
+            modern["rays"] / modern["seconds"], 1)
+    kf = results.get("kernelfrac")
+    if kf:
+        result.update(kf)
     if large:
         result["large_scene_tris"] = large["tris"]
         result["large_scene_rays_per_s"] = round(large["rays"] / large["seconds"], 1)

@@ -127,13 +127,23 @@ class RenderOptions:
     cluster_order: str = "median"
     # VMEM-table chunk cap for the cluster intersector: scenes needing more
     # than this many chunked tables fall back to the XLA packet walk
-    # (integrator/wavefront.py::_cluster_plan).  Each chunk adds the
-    # intersect call's fixed candidate-phase cost (~1.2 ms at 64k lanes).
-    # 32 covers ~5M tris; measured at 1.5M tris / 13 chunks on v5e the
-    # chunked kernel renders 6.6e5 rays/s vs the packet walk's 2.7e4 (24x),
-    # so the cap is set well past every workload in sight and the packet
-    # walk remains only as the CPU/test and explicit-opt-in path.
-    max_table_chunks: int = 32
+    # (integrator/wavefront.py::_cluster_plan).  Since round 5 all chunks
+    # ride ONE two-dispatch intersector (a (K, n_steps) Pallas grid), so a
+    # chunk costs a grid row — not a separate dispatch + sort + merge — and
+    # routing-parked (chunk, subtile) pairs skip at flag speed.  64 covers
+    # ~5M tris at the 5 MB/chunk table budget; the packet walk remains only
+    # as the CPU/test and explicit-opt-in path (measured 24x slower at 1.5M
+    # tris in round 3).
+    max_table_chunks: int = 64
+    # Large-scene policy past the single VMEM-table budget.  The stacked
+    # VMEM-chunk two-dispatch kernel always wins while it fits (6.2e6 vs
+    # 2.3e6 rays/s at 400k tris); past max_table_chunks the fallback is:
+    # "hbm" (default) — the HBM-streaming intersector (kernels/cluster.py::
+    # cluster_intersect_hbm): double-buffered per-supergroup DMA, no
+    # table-size cap, ~80x the packet walk this replaces as the beyond-cap
+    # path; "chunked" — warn + XLA packet walk (the pre-round-5 behavior);
+    # "hbm_always" — force HBM streaming for any >1-table scene (A/B probe).
+    large_mode: str = "hbm"
     # Wavefront ray sorting by (hit cluster, direction bin) per bounce —
     # restores tile coherence for shadow/bounce rays. None = on iff the
     # cluster intersector is active. The estimator is identical either way

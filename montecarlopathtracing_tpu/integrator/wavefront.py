@@ -155,8 +155,16 @@ def resolve_plan(opts: RenderOptions, num_tris: int):
     kind = resolve_intersector(opts)
     if kind in ("cluster", "cluster_interpret"):
         plan = _cluster_plan(opts, num_tris)
-        if plan is not None:
+        if plan is not None and (plan[2] == 1 or opts.large_mode != "hbm_always"):
             return kind, plan[0], plan[1], plan[2]
+        if opts.large_mode in ("hbm", "hbm_always"):
+            # HBM-streaming intersector: the constant table never needs to
+            # fit VMEM, so scenes past the chunk cap still run the cluster
+            # pipeline (measured 2.3e6 rays/s at 400k tris vs the chunked
+            # kernel's 6.2e6 — per-candidate DMA latency — but ~80x the old
+            # packet-walk fallback; "hbm_always" forces it for A/B probes).
+            g = max(1, (opts.cluster_width * opts.cluster_group) // 128)
+            return kind + "_hbm", 128, g, 1
         if opts.intersector != "auto":
             import warnings
 
@@ -178,6 +186,10 @@ def swizzle_tile(opts: RenderOptions, num_tris: int) -> int:
 
 
 _VMEM_TABLE_BUDGET = 10 << 20  # leave headroom under the ~16 MB VMEM
+# Chunked tables ride a k-indexed BlockSpec, which Pallas DOUBLE-BUFFERS:
+# each chunk's table must fit twice (+ rays/outputs) under the 16 MB scoped
+# limit.  Smaller chunks also tighten per-chunk AABBs for the ray routing.
+_VMEM_CHUNK_BUDGET = 5 << 20
 
 
 def _tconst_bytes_per_tri(width: int) -> int:
@@ -199,10 +211,10 @@ def _cluster_plan(opts: RenderOptions, num_tris: int):
         # coarser clusters, same 128-lane test panel
         return 128, max(1, (opts.cluster_width * opts.cluster_group) // 128), 1
     # Larger than one VMEM-resident table: contiguous Morton-range CHUNKS,
-    # each its own table, merged lexicographically (kernels.cluster.
+    # stacked into one two-dispatch intersector (kernels.cluster.
     # cluster_intersect_chunked).  Per-chunk fixed cost caps the chunk count;
     # beyond that the XLA packet walk takes over.
-    n_chunks = -(-num_tris * _tconst_bytes_per_tri(128) // _VMEM_TABLE_BUDGET)
+    n_chunks = -(-num_tris * _tconst_bytes_per_tri(128) // _VMEM_CHUNK_BUDGET)
     if n_chunks <= opts.max_table_chunks:
         return 128, max(1, (opts.cluster_width * opts.cluster_group) // 128), int(n_chunks)
     return None  # use the packet walk
@@ -214,6 +226,16 @@ def intersect_any(scene, bvh, origin, direction, opts: RenderOptions):
     kind, width, group, n_chunks = resolve_plan(opts, scene.num_tris_padded)
     if kind == "brute":
         return brute_force_intersect(scene, origin, direction, compat=compat_tri)
+    if kind in ("cluster_hbm", "cluster_interpret_hbm"):
+        from ..kernels.cluster import (build_cluster_accel,
+                                       cluster_intersect_hbm)
+
+        accel = build_cluster_accel(scene, width=width, mt=not compat_tri)
+        return cluster_intersect_hbm(
+            accel, origin, direction, tile=opts.cluster_rays,
+            mega=opts.cluster_mega,
+            interpret=True if kind == "cluster_interpret_hbm" else None,
+            mt=not compat_tri)
     if kind in ("cluster", "cluster_interpret"):
         interp = True if kind == "cluster_interpret" else None
         if n_chunks > 1:
@@ -264,7 +286,11 @@ def _permuted_take(mat, perm):
 
 
 def _permuted_take_fwd(mat, perm):
-    return jnp.take(mat, perm, axis=0), jnp.argsort(perm)
+    # Named so the checkpoint policy can SAVE it ((r,) i32, ~0.26 MB/iter):
+    # recomputing it in the remat pass costs an extra per-iteration sort.
+    from jax.ad_checkpoint import checkpoint_name
+    return jnp.take(mat, perm, axis=0), checkpoint_name(
+        jnp.argsort(perm), "perm_inv")
 
 
 def _permuted_take_bwd(inv, ct):
@@ -1225,7 +1251,7 @@ def render_pixels_refill(
         remat_block = jax.checkpoint(
             block,
             policy=jax.checkpoint_policies.save_only_these_names(
-                "isect_hit", "isect_t", "isect_tri"),
+                "isect_hit", "isect_t", "isect_tri", "perm_inv"),
         )
         state, (slot_out, r_out, g_out, b_out) = jax.lax.scan(
             remat_block, state0, None, length=n_outer

@@ -338,7 +338,15 @@ def build_scene(
     scene_sa = (scene_ext[0] * scene_ext[1] + scene_ext[1] * scene_ext[2]
                 + scene_ext[0] * scene_ext[2])
     big = tri_sa > 0.005 * max(scene_sa, 1e-30)
+    # Order at the width the intersector will ACTUALLY slice: scenes past
+    # the fine-width VMEM budget run width-128 clusters (wavefront.
+    # _cluster_plan), and split positions aligned to the requested 32 leave
+    # width-128 clusters straddling split boundaries — measured 21-45
+    # candidate clusters per active subtile on the 400k-tri interior vs 5.3
+    # on cornell.  The byte model mirrors _cluster_plan/_tconst_bytes_per_tri.
     w = max(1, options.cluster_width)
+    if num_faces * 16 * max(w, 128) * 4 // w > (10 << 20):
+        w = 128
     use_median = (getattr(options, "cluster_order", "morton_gap") == "median"
                   and num_faces > w)
     if use_median:

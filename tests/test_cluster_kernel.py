@@ -127,13 +127,21 @@ def test_modern_render_uses_mt_cluster(box_scene):
 
 
 def test_explicit_cluster_fallback_warns():
-    """An explicit cluster request on a scene too large for the VMEM table
-    warns about the packet-walk substitution (silent before round 2)."""
+    """Past the chunk cap the default policy now resolves to the
+    HBM-streaming cluster path (no fallback, no warning); the packet-walk
+    substitution + warning survives only under large_mode='chunked'
+    (pre-round-5 behavior, kept as an escape hatch)."""
     import warnings
 
     from montecarlopathtracing_tpu.integrator.wavefront import resolve_plan
 
-    opts = RenderOptions(intersector="cluster")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        kind, w, _, n = resolve_plan(
+            RenderOptions(intersector="cluster"), num_tris=1 << 24)
+    assert kind == "cluster_hbm" and w == 128 and n == 1
+    assert not rec
+    opts = RenderOptions(intersector="cluster", large_mode="chunked")
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         kind, _, _, _ = resolve_plan(opts, num_tris=1 << 24)
@@ -154,7 +162,7 @@ def test_chunked_cluster_matches_brute_force(box_scene):
         build_cluster_accel_chunked, cluster_intersect_chunked)
 
     accels, offs = build_cluster_accel_chunked(box_scene, width=4, n_chunks=3)
-    assert len(accels) >= 2
+    assert accels.num_chunks >= 2
     o, d = _random_rays(256, seed=11)
     hb, tb, ib = brute_force_intersect(box_scene, o, d)
     hc, tc, ic = cluster_intersect_chunked(accels, offs, o, d, tile=16,
@@ -173,3 +181,29 @@ def test_plan_selects_chunked_for_large_scenes():
     kind, width, group, n_chunks = resolve_plan(
         RenderOptions(intersector="cluster"), num_tris=1 << 19)  # 512k tris
     assert kind == "cluster" and width == 128 and n_chunks > 1
+
+
+def test_hbm_cluster_matches_brute_force(box_scene):
+    """HBM-streaming path (large-scene fallback past the chunk cap): the
+    double-buffered per-supergroup DMA kernel must equal brute force, compat
+    AND Moller-Trumbore variants (kernels/cluster.py::cluster_intersect_hbm)."""
+    from montecarlopathtracing_tpu.kernels.cluster import (
+        build_cluster_accel, cluster_intersect_hbm)
+
+    o, d = _random_rays(256, seed=13)
+    hb, tb, ib = brute_force_intersect(box_scene, o, d)
+    accel = build_cluster_accel(box_scene, width=4)
+    hh, th, ih = cluster_intersect_hbm(accel, o, d, tile=16, mega=2,
+                                       sgroup=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(hh))
+    ok = np.asarray(hb)
+    np.testing.assert_allclose(np.asarray(tb)[ok], np.asarray(th)[ok],
+                               rtol=1e-4, atol=1e-5)
+    hb2, tb2, _ = brute_force_intersect(box_scene, o, d, compat=False)
+    accel_mt = build_cluster_accel(box_scene, width=4, mt=True)
+    hh2, th2, _ = cluster_intersect_hbm(accel_mt, o, d, tile=16, mega=2,
+                                        sgroup=2, interpret=True, mt=True)
+    np.testing.assert_array_equal(np.asarray(hb2), np.asarray(hh2))
+    np.testing.assert_allclose(np.asarray(tb2)[np.asarray(hb2)],
+                               np.asarray(th2)[np.asarray(hb2)],
+                               rtol=1e-4, atol=1e-5)

@@ -17,9 +17,9 @@ def test_cluster_plan_thresholds():
     assert w == 128 and n == 1
     assert w * g == opts.cluster_width * opts.cluster_group
     w, g, n = _cluster_plan(opts, 1 << 20)  # 1M tris: chunked tables
-    assert w == 128 and 2 <= n <= 8
-    w, g, n = _cluster_plan(opts, 1 << 22)  # 4M tris: still chunked (cap 32)
-    assert w == 128 and 8 < n <= 32
+    assert w == 128 and 8 <= n <= 16
+    w, g, n = _cluster_plan(opts, 1 << 22)  # 4M tris: still chunked (cap 64)
+    assert w == 128 and 16 < n <= 64
     assert _cluster_plan(opts, 1 << 24) is None  # beyond chunking: packet
 
 

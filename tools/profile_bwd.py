@@ -21,7 +21,10 @@ from montecarlopathtracing_tpu.integrator.wavefront import render_image_stats
 spp_chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 scene, meta = m.load_scene("/root/reference/scene", "cornell-box")
 bvh = build_lbvh_host(scene)
-opts = RenderOptions(spp=spp_chunk, max_depth=32, chunk_size=65536)
+opts = RenderOptions(spp=spp_chunk, max_depth=32, chunk_size=65536,
+                     bwd_seg_per_sample=(float(os.environ["MCPT_BWD_SEG"])
+                                         if "MCPT_BWD_SEG" in os.environ
+                                         else None))
 params = SceneParams.from_scene(scene)
 
 

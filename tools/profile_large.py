@@ -20,9 +20,11 @@ from montecarlopathtracing_tpu.integrator.wavefront import (
 
 tris = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
 spp = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+mode = sys.argv[3] if len(sys.argv) > 3 else "hbm"
 scene, meta = load_builtin_large(tris)
 bvh = build_lbvh_host(scene)
-opts = RenderOptions(spp=spp, max_depth=32, chunk_size=65536, spp_chunk=spp)
+opts = RenderOptions(spp=spp, max_depth=32, chunk_size=65536, spp_chunk=spp,
+                     large_mode=mode)
 print("plan:", resolve_plan(opts, scene.num_tris_padded), flush=True)
 render_image_host_chunked(scene, bvh, opts)  # compile + warm
 
